@@ -70,12 +70,20 @@ object GzipMembers {
     * inputs are concatenated. */
   def inflateAuto(data: Array[Byte], encoding: String): Array[Byte] = {
     if (data.isEmpty) return data
+    // pako's inflater auto-detects gzip vs zlib wrappers for both the
+    // "gzip" and "deflate" settings; only "deflate" additionally retries
+    // as raw deflate on error (readers.ts:287-299). Truth table verified
+    // by /root/reference/test/testReaders.test.ts:298-321.
+    def wrapped(): Array[Byte] =
+      if (data.length >= 2 && (data(0) & 0xff) == 0x1f && (data(1) & 0xff) == 0x8b)
+        inflateGzipAllMembers(data)
+      else inflateOne(data, raw = false)
     encoding match {
       case "gzip" | "x-gzip" =>
-        try inflateGzipAllMembers(data)
+        try wrapped()
         catch { case _: Exception => data }
       case "deflate" =>
-        try inflateOne(data, raw = false)
+        try wrapped()
         catch {
           case _: Exception =>
             try inflateOne(data, raw = true)

@@ -47,9 +47,10 @@ object WarcFraming {
     * extension — the reference's reader always tries gzip and falls back
     * to passthrough (readers.ts:316-322), so a gzipped file named `.warc`
     * still parses compressed. */
-  def parseFile(bytes: Array[Byte], filename: String, isGzip: Boolean): Vector[FramedRecord] = {
-    if (isGzip || looksGzip(bytes)) parseGzip(bytes, filename)
-    else parseUncompressed(bytes, filename)
+  def parseFile(bytes: Array[Byte], filename: String, isGzip: Boolean,
+                keepCase: Boolean = false): Vector[FramedRecord] = {
+    if (isGzip || looksGzip(bytes)) parseGzip(bytes, filename, keepCase)
+    else parseUncompressed(bytes, filename, keepCase)
   }
 
   def isGzipName(path: String): Boolean =
@@ -58,7 +59,7 @@ object WarcFraming {
   def looksGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
 
-  private def parseGzip(bytes: Array[Byte], filename: String): Vector[FramedRecord] = {
+  private def parseGzip(bytes: Array[Byte], filename: String, keepCase: Boolean): Vector[FramedRecord] = {
     val members = GzipMembers.splitMembers(bytes)
     // decompressed stream + boundary map (decompressed pos → member)
     val totalLen = members.iterator.map(_.data.length.toLong).sum
@@ -80,7 +81,7 @@ object WarcFraming {
       }
       bounds(ans)._2
     }
-    parseStream(all, filename, (recStart, recEndDecomp) => {
+    parseStream(all, filename, keepCase, (recStart, recEndDecomp) => {
       val m = memberAt(recStart)
       // recordLength for compressed input is the LAST member's total_in
       // (reference readers.ts:446-453); for conformant one-member-per-
@@ -90,14 +91,15 @@ object WarcFraming {
     })
   }
 
-  private def parseUncompressed(bytes: Array[Byte], filename: String): Vector[FramedRecord] =
-    parseStream(bytes, filename, (start, end) => (start, end - start))
+  private def parseUncompressed(bytes: Array[Byte], filename: String, keepCase: Boolean): Vector[FramedRecord] =
+    parseStream(bytes, filename, keepCase, (start, end) => (start, end - start))
 
   /** Core framing loop. `offsetFn(recordStartPos, payloadEndPos)` maps
     * decompressed positions to reported (offset, length). */
   private def parseStream(
       data: Array[Byte],
       filename: String,
+      keepCase: Boolean,
       offsetFn: (Long, Long) => (Long, Long)
   ): Vector[FramedRecord] = {
     val out = Vector.newBuilder[FramedRecord]
@@ -144,7 +146,7 @@ object WarcFraming {
         val blockEnd = if (hdrEnd < 0) n else hdrEnd + 1
         val headerBuff = new String(data, pos, blockEnd - pos, StandardCharsets.UTF_8)
         pos = blockEnd
-        val (warcHdrs0, warcReenc) = WarcHeaders.parseHeaderBlock(headerBuff)
+        val (warcHdrs0, warcReenc) = WarcHeaders.parseHeaderBlock(headerBuff, keepCase)
         // wget fix-up: strip <...> around WARC-Target-URI
         // (reference warcrecord.ts:228-234)
         val warcHdrs = warcHdrs0.map {
@@ -183,7 +185,7 @@ object WarcFraming {
               val hBlockEnd = if (hEnd < 0) n else hEnd + 1
               val hBuff = new String(data, pos, hBlockEnd - pos, StandardCharsets.UTF_8)
               pos = hBlockEnd
-              val parsed = WarcHeaders.parseHeaderBlock(hBuff)
+              val parsed = WarcHeaders.parseHeaderBlock(hBuff, keepCase)
               httpHeaders = parsed._1
               httpReenc = parsed._2
             }
