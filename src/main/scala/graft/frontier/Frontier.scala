@@ -1,0 +1,318 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Functions
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** The crawl frontier + fetch scheduler (north rule, BASELINE.json).
+  *
+  * A wave is one iterative batch round:
+  *   candidates (pending ∪ discovered)
+  *     → canonicalize (WHATWG normalize) → SURT key → host
+  *     → in-batch dedup (groupBy surt, deterministic min)
+  *     → seen-set subtraction: partitioned cuckoo/bloom shard PREFILTER
+  *       (broadcast shard map, each key probes its own shard) + exact
+  *       anti-join on survivors — approximate filters can never drop a
+  *       URL incorrectly, they only shrink the join
+  *     → robots filter (broadcast rules)
+  *     → per-host politeness budget: two-phase top-K (salted local top-K
+  *       then host-level top-K) so one hot host cannot skew a partition
+  *     → scheduled wave, committed with an atomic manifest; seen +
+  *       frontier + per-partition lineage metrics checkpointed
+  *
+  * Determinism: every ordering is total — (priority, surt_key) with surt
+  * as the tiebreak — so the same seed list + budget reproduce the same
+  * schedule and seen membership at ANY parallelism. Exactly-once resume:
+  * a wave exists iff its manifest file exists; outputs are idempotent
+  * overwrites, so a crash between writes re-runs the wave with identical
+  * results.
+  *
+  * Scale notes (10^10 URLs): seen shards are hash-partitioned by
+  * `pmod(hash(surt), shards)`; at 10^10 keys and 4096 shards each shard
+  * holds ~2.4M fingerprints (~10 MB cuckoo) — executors hold only probed
+  * shards. The exact anti-join shuffles only filter-positive candidates
+  * (~FP-rate of the batch). Hot hosts are bounded by the salt phase
+  * before any host-level shuffle.
+  */
+final case class FrontierConfig(
+    checkpointDir: String,
+    hostBudget: Int = 8, // fetches per host per wave
+    salt: Int = 8,
+    seenShards: Int = 64,
+    outlinksPerUrl: Int = 3,
+    hostPool: Int = 200, // synthetic outlink host universe
+    seed: Long = 42L
+)
+
+final case class WaveResult(
+    wave: Int,
+    candidates: Long,
+    deduped: Long,
+    fresh: Long,
+    allowed: Long,
+    scheduled: Long,
+    seenTotal: Long,
+    pendingTotal: Long,
+    elapsedSec: Double
+)
+
+class Frontier(spark: SparkSession, cfg: FrontierConfig) {
+  import spark.implicits._
+  Functions.registerAll(spark)
+
+  private def dir(parts: String*): String = (cfg.checkpointDir +: parts).mkString("/")
+
+  // ----------------------------------------------------------------
+  // URL canonicalization + keys
+  // ----------------------------------------------------------------
+
+  /** url → (surt_key, canonical_url, host); unparseable URLs dropped. */
+  private def canonicalized(urls: DataFrame): DataFrame =
+    urls
+      .withColumn("canonical_url", Functions.canonicalizeUrl(col("url")))
+      .withColumn("surt_key", Functions.surt(col("canonical_url")))
+      .withColumn("host", Functions.hostOf(col("canonical_url")))
+      .filter(col("host").isNotNull && col("surt_key").isNotNull)
+
+  // ----------------------------------------------------------------
+  // Seen-set shards
+  // ----------------------------------------------------------------
+
+  /** Shard id from the engine's own 64-bit key hash — the same function
+    * on the build and probe sides (NOT Spark's Murmur3 `hash`, so probes
+    * can compute it without a Column context). */
+  private val shardOfUdf = {
+    val n = cfg.seenShards
+    udf((key: String) => java.lang.Math.floorMod(SeenFilter.hashKey(key), n.toLong).toInt)
+  }
+
+  /** Build serialized filter shards from the seen keys table. */
+  private def buildShards(seen: DataFrame): DataFrame = {
+    val shards = cfg.seenShards
+    seen.select(col("surt_key"), shardOfUdf(col("surt_key")).as("shard"))
+      .repartition(math.min(shards, 64), col("shard"))
+      .mapPartitions { it =>
+        val byShard = it.toVector.groupBy(_.getInt(1))
+        byShard.iterator.map { case (shard, rows) =>
+          (shard, SeenFilter.buildShard(rows.iterator.map(_.getString(0)), rows.size.toLong))
+        }
+      }.toDF("shard", "filter")
+  }
+
+  /** Split candidates into definitely-new vs maybe-seen using the
+    * broadcast shard map, then exact-anti-join only the maybe side. */
+  private def subtractSeen(cands: DataFrame, seen: DataFrame): DataFrame = {
+    val shardMap: Map[Int, Array[Byte]] =
+      buildShards(seen).as[(Int, Array[Byte])].collect().toMap
+    if (shardMap.isEmpty) return cands
+    val b = spark.sparkContext.broadcast(shardMap)
+    val nShards = cfg.seenShards
+    val mightBeSeen = udf((key: String) => {
+      val shard = java.lang.Math.floorMod(SeenFilter.hashKey(key), nShards.toLong).toInt
+      b.value.get(shard) match {
+        case Some(f) => SeenFilter.mightContain(f, key)
+        case None    => false
+      }
+    })
+    val flagged = cands.withColumn("maybe_seen", mightBeSeen(col("surt_key")))
+    val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
+    val maybe = flagged.filter(col("maybe_seen")).drop("maybe_seen")
+    val verified = maybe.join(seen.select("surt_key"), Seq("surt_key"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
+  // ----------------------------------------------------------------
+  // Robots / politeness
+  // ----------------------------------------------------------------
+
+  /** Deterministic synthetic robots rules: every 5th host (by hash)
+    * disallows paths under /private. Broadcast-joined. */
+  private def applyRobots(df: DataFrame): DataFrame = {
+    val disallowed = udf((host: String, url: String) => {
+      val blocked = java.lang.Math.floorMod(SeenFilter.hashKey(host), 5L) == 0L
+      blocked && url.contains("/private")
+    })
+    df.filter(!disallowed(col("host"), col("canonical_url")))
+  }
+
+  /** Two-phase per-host top-K with salting (hot-host skew control). */
+  private def hostBudget(df: DataFrame): DataFrame = {
+    val k = cfg.hostBudget
+    val salted = df.withColumn("salt", pmod(hash(col("surt_key")), lit(cfg.salt)))
+    val w1 = Window.partitionBy(col("host"), col("salt"))
+      .orderBy(col("priority"), col("surt_key"))
+    val local = salted.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+    val w2 = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
+    local.withColumn("rank_in_host", row_number().over(w2))
+      .filter(col("rank_in_host") <= k)
+      .drop("salt", "rn1")
+  }
+
+  // ----------------------------------------------------------------
+  // Synthetic discovery (outlinks) — deterministic, Zipf-skewed hosts
+  // ----------------------------------------------------------------
+
+  private def discoverOutlinks(scheduled: DataFrame): DataFrame = {
+    val n = cfg.outlinksPerUrl
+    val pool = cfg.hostPool
+    val seed = cfg.seed
+    val gen = udf((surt: String) => {
+      val h0 = SeenFilter.hashKey(surt + ":" + seed)
+      (0 until n).map { i =>
+        val h = SeenFilter.hashKey(surt + "#" + i)
+        // Zipf-ish skew: cube of uniform concentrates on low host ids
+        val u = (java.lang.Math.floorMod(h, 1000000L)) / 1000000.0
+        val hostId = (pool * u * u * u).toInt
+        val path = java.lang.Math.floorMod(h ^ h0, 100000L)
+        val priv = if (java.lang.Math.floorMod(h, 7L) == 0L) "/private" else ""
+        (s"https://www.host$hostId.example.org$priv/p/$path?x=1",
+          java.lang.Math.floorMod(h, 100L).toInt)
+      }
+    })
+    scheduled.select(explode(gen(col("surt_key"))).as("link"))
+      .select(col("link._1").as("url"), col("link._2").as("priority"))
+  }
+
+  // ----------------------------------------------------------------
+  // Checkpointing
+  // ----------------------------------------------------------------
+
+  private def manifestPath(wave: Int): java.nio.file.Path =
+    Paths.get(dir(s"MANIFEST-$wave.json"))
+
+  def latestCommittedWave(): Int = {
+    val d = Paths.get(cfg.checkpointDir)
+    if (!Files.exists(d)) return -1
+    val re = "MANIFEST-(\\d+)\\.json".r
+    val it = Files.list(d).iterator()
+    var best = -1
+    while (it.hasNext) {
+      it.next().getFileName.toString match {
+        case re(n) => best = math.max(best, n.toInt)
+        case _     =>
+      }
+    }
+    best
+  }
+
+  private def commit(wave: Int, result: WaveResult): Unit = {
+    val json =
+      s"""{"wave":$wave,"candidates":${result.candidates},"deduped":${result.deduped},
+         |"fresh":${result.fresh},"allowed":${result.allowed},"scheduled":${result.scheduled},
+         |"seen_total":${result.seenTotal},"pending_total":${result.pendingTotal},
+         |"elapsed_sec":${result.elapsedSec}}""".stripMargin.replace("\n", "")
+    val tmp = Paths.get(dir(s".MANIFEST-$wave.tmp"))
+    Files.createDirectories(tmp.getParent)
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath(wave), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ----------------------------------------------------------------
+  // Waves
+  // ----------------------------------------------------------------
+
+  /** Initialize state from a seed URL list (DataFrame with url,
+    * priority). Commits wave 0 (nothing scheduled yet). */
+  def initialize(seeds: DataFrame): WaveResult = {
+    val t0 = System.nanoTime()
+    val canon = canonicalized(seeds)
+      .groupBy("surt_key")
+      .agg(min("priority").as("priority"),
+        min("canonical_url").as("canonical_url"), min("host").as("host"))
+    val pending = canon.select("surt_key", "canonical_url", "host", "priority")
+      .orderBy("priority", "surt_key")
+    pending.write.mode("overwrite").parquet(dir("frontier", "wave=0"))
+    pending.select("surt_key").write.mode("overwrite").parquet(dir("seen", "wave=0"))
+    val n = spark.read.parquet(dir("frontier", "wave=0")).count()
+    val res = WaveResult(0, n, n, n, n, 0, n, n, (System.nanoTime() - t0) / 1e9)
+    commit(0, res)
+    res
+  }
+
+  /** Run the next wave after the latest committed one. */
+  def runWave(): WaveResult = {
+    val prev = latestCommittedWave()
+    require(prev >= 0, "frontier not initialized")
+    val wave = prev + 1
+    val t0 = System.nanoTime()
+
+    val pending = spark.read.parquet(dir("frontier", s"wave=$prev"))
+    val seen = spark.read.parquet(dir("seen", s"wave=$prev"))
+
+    // 1. schedule from pending under politeness budget
+    val allowed = applyRobots(pending)
+    val scheduled = hostBudget(allowed)
+      .withColumn("wave", lit(wave))
+      .select("host", "surt_key", "canonical_url", "priority", "rank_in_host", "wave")
+    scheduled.orderBy("priority", "host", "surt_key")
+      .write.mode("overwrite").parquet(dir("scheduled", s"wave=$wave"))
+    val scheduledR = spark.read.parquet(dir("scheduled", s"wave=$wave"))
+
+    // per-partition lineage metrics
+    scheduledR.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_scheduled"), countDistinct(col("host")).as("n_hosts"))
+      .withColumn("wave", lit(wave))
+      .write.mode("overwrite").parquet(dir("metrics", s"wave=$wave"))
+
+    // 2. discover outlinks of the scheduled batch; canonicalize + dedup
+    val discovered = canonicalized(discoverOutlinks(scheduledR))
+    val candNorm = discovered
+      .groupBy("surt_key")
+      .agg(min("priority").as("priority"),
+        min("canonical_url").as("canonical_url"), min("host").as("host"))
+    val nCands = candNorm.count()
+
+    // 3. seen-set subtraction (cuckoo/bloom prefilter + exact anti-join)
+    val fresh = subtractSeen(
+      candNorm.select("surt_key", "canonical_url", "host", "priority"), seen)
+
+    // 4. new state: pending minus scheduled, plus fresh discoveries
+    val stillPending = pending.join(
+      scheduledR.select("surt_key"), Seq("surt_key"), "left_anti")
+    val newPending = stillPending.unionByName(fresh)
+      .groupBy("surt_key")
+      .agg(min("priority").as("priority"),
+        min("canonical_url").as("canonical_url"), min("host").as("host"))
+      .select("surt_key", "canonical_url", "host", "priority")
+    newPending.orderBy("priority", "surt_key")
+      .write.mode("overwrite").parquet(dir("frontier", s"wave=$wave"))
+
+    val newSeen = seen.select("surt_key")
+      .unionByName(fresh.select("surt_key")).distinct()
+    newSeen.orderBy("surt_key").write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
+
+    val nScheduled = scheduledR.count()
+    val nFresh = fresh.count()
+    val nSeen = spark.read.parquet(dir("seen", s"wave=$wave")).count()
+    val nPending = spark.read.parquet(dir("frontier", s"wave=$wave")).count()
+    val res = WaveResult(wave, nCands, nCands, nFresh, allowed.count(), nScheduled,
+      nSeen, nPending, (System.nanoTime() - t0) / 1e9)
+    commit(wave, res)
+    res
+  }
+
+  def scheduledDf(wave: Int): DataFrame = spark.read.parquet(dir("scheduled", s"wave=$wave"))
+  def seenDf(wave: Int): DataFrame = spark.read.parquet(dir("seen", s"wave=$wave"))
+  def metricsDf(wave: Int): DataFrame = spark.read.parquet(dir("metrics", s"wave=$wave"))
+}
+
+object Frontier {
+  /** Deterministic seed list synthesized from the images/documents
+    * tables (no external data): URL-shaped strings exercising every SURT
+    * category (www prefixes, ports, query sort, %-encoding). */
+  def syntheticSeeds(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val h = SeenFilter.hashKey(s"seed:$seed:$i")
+      val u = (java.lang.Math.floorMod(h, 1000000L)) / 1000000.0
+      val hostId = (200 * u * u * u).toInt
+      val www = if (i % 3 == 0) "www." else if (i % 7 == 0) "www2." else ""
+      val port = if (i % 11 == 0) ":8443" else ""
+      val q = if (i % 2 == 0) s"?b=$i&a=${i % 10}" else ""
+      (s"https://${www}host$hostId.example.org$port/seed/$i$q",
+        java.lang.Math.floorMod(h, 100L).toInt)
+    }.toDF("url", "priority")
+  }
+}

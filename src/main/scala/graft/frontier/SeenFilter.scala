@@ -1,0 +1,203 @@
+package graft.frontier
+
+/** Compact approximate-membership filters for the URL-seen set.
+  *
+  * Primary: a cuckoo filter (2-choice, 4-slot buckets, 16-bit
+  * fingerprints → ~0.01% FP at 95% load, supports deletion). Fallback: a
+  * blocked Bloom filter. Both serialize to byte arrays so the seen-set
+  * ships as PARTITIONED SHARDS: executors build one filter per hash
+  * shard, the driver broadcasts the shard map, and candidate URLs probe
+  * only their own shard (north rule: "partitioned cuckoo-filter URL-seen
+  * set, bloom fallback per executor").
+  *
+  * Filters are a PREFILTER only — survivors still pass an exact
+  * anti-join, so false positives cannot drop URLs incorrectly; the
+  * filter exists to keep the exact join's probe side small. */
+object SeenFilter {
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hashKey(key: String): Long = {
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < key.length) { h = (h ^ key.charAt(i)) * 1099511628211L; i += 1 }
+    mix64(h)
+  }
+
+  // =================================================================
+  // Cuckoo filter
+  // =================================================================
+
+  /** buckets = power of two; 4 x 16-bit slots per bucket (0 = empty). */
+  final class Cuckoo(val numBuckets: Int, val table: Array[Short]) {
+    require(Integer.bitCount(numBuckets) == 1, "numBuckets must be a power of 2")
+    private val mask = numBuckets - 1
+
+    private def fingerprint(h: Long): Short = {
+      val f = ((h >>> 48) & 0xffff).toInt
+      (if (f == 0) 1 else f).toShort
+    }
+    private def bucket1(h: Long): Int = (h & mask).toInt
+    private def altBucket(b: Int, f: Short): Int =
+      (b ^ (mix64(f & 0xffffL) & mask)).toInt & mask
+
+    def insert(key: String): Boolean = insertHash(hashKey(key))
+
+    def insertHash(h: Long): Boolean = {
+      val f = fingerprint(h)
+      val b1 = bucket1(h)
+      val b2 = altBucket(b1, f)
+      if (tryPut(b1, f) || tryPut(b2, f)) return true
+      // cuckoo eviction
+      var b = if ((mix64(h) & 1) == 0) b1 else b2
+      var cur = f
+      var kicks = 0
+      val rnd = new java.util.Random(h)
+      while (kicks < 500) {
+        val slot = b * 4 + rnd.nextInt(4)
+        val evicted = table(slot)
+        table(slot) = cur
+        cur = evicted
+        b = altBucket(b, cur)
+        if (tryPut(b, cur)) return true
+        kicks += 1
+      }
+      false // full — caller should grow or fall back to bloom
+    }
+
+    private def tryPut(b: Int, f: Short): Boolean = {
+      var s = b * 4
+      val end = s + 4
+      while (s < end) {
+        if (table(s) == 0) { table(s) = f; return true }
+        s += 1
+      }
+      false
+    }
+
+    def mightContain(key: String): Boolean = mightContainHash(hashKey(key))
+
+    def mightContainHash(h: Long): Boolean = {
+      val f = fingerprint(h)
+      val b1 = bucket1(h)
+      val b2 = altBucket(b1, f)
+      contains(b1, f) || contains(b2, f)
+    }
+
+    private def contains(b: Int, f: Short): Boolean = {
+      var s = b * 4
+      val end = s + 4
+      while (s < end) {
+        if (table(s) == f) return true
+        s += 1
+      }
+      false
+    }
+
+    def serialize(): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + table.length * 2)
+      bb.putInt(0x43554b31) // "CUK1"
+      bb.putInt(numBuckets)
+      table.foreach(bb.putShort)
+      bb.array()
+    }
+  }
+
+  object Cuckoo {
+    def create(expectedItems: Long): Cuckoo = {
+      // 4 slots/bucket at ≤95% load
+      var buckets = 1
+      while (buckets.toLong * 4 * 95 / 100 < expectedItems) buckets <<= 1
+      new Cuckoo(math.max(buckets, 16), new Array[Short](math.max(buckets, 16) * 4))
+    }
+    def deserialize(bytes: Array[Byte]): Cuckoo = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      require(bb.getInt() == 0x43554b31, "bad cuckoo magic")
+      val buckets = bb.getInt()
+      val table = new Array[Short](buckets * 4)
+      var i = 0
+      while (i < table.length) { table(i) = bb.getShort(); i += 1 }
+      new Cuckoo(buckets, table)
+    }
+  }
+
+  // =================================================================
+  // Blocked bloom fallback
+  // =================================================================
+
+  final class Bloom(val bits: Array[Long]) {
+    private val nBits = bits.length * 64L
+    def insertHash(h: Long): Unit = {
+      var i = 0
+      var hh = h
+      while (i < 3) {
+        val bit = java.lang.Math.floorMod(hh, nBits)
+        bits((bit >>> 6).toInt) |= (1L << (bit & 63))
+        hh = mix64(hh)
+        i += 1
+      }
+    }
+    def mightContainHash(h: Long): Boolean = {
+      var i = 0
+      var hh = h
+      while (i < 3) {
+        val bit = java.lang.Math.floorMod(hh, nBits)
+        if ((bits((bit >>> 6).toInt) & (1L << (bit & 63))) == 0) return false
+        hh = mix64(hh)
+        i += 1
+      }
+      true
+    }
+    def serialize(): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + bits.length * 8)
+      bb.putInt(0x424c4d31) // "BLM1"
+      bb.putInt(bits.length)
+      bits.foreach(bb.putLong)
+      bb.array()
+    }
+  }
+
+  object Bloom {
+    def create(expectedItems: Long, bitsPerItem: Int = 12): Bloom =
+      new Bloom(new Array[Long](math.max(16, ((expectedItems * bitsPerItem + 63) / 64).toInt)))
+    def deserialize(bytes: Array[Byte]): Bloom = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      require(bb.getInt() == 0x424c4d31, "bad bloom magic")
+      val n = bb.getInt()
+      val bits = new Array[Long](n)
+      var i = 0
+      while (i < n) { bits(i) = bb.getLong(); i += 1 }
+      new Bloom(bits)
+    }
+  }
+
+  /** Polymorphic probe over a serialized shard (cuckoo or bloom). */
+  def mightContain(shardBytes: Array[Byte], key: String): Boolean = {
+    val magic = java.nio.ByteBuffer.wrap(shardBytes).getInt()
+    val h = hashKey(key)
+    if (magic == 0x43554b31) Cuckoo.deserialize(shardBytes).mightContainHash(h)
+    else Bloom.deserialize(shardBytes).mightContainHash(h)
+  }
+
+  /** Build one shard from an iterator of keys: cuckoo first, bloom
+    * fallback if the cuckoo overflows (reference-north-rule behavior). */
+  def buildShard(keys: Iterator[String], expected: Long): Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    keys.foreach(k => buf += hashKey(k))
+    val cuckoo = Cuckoo.create(math.max(expected, buf.length))
+    var ok = true
+    val it = buf.iterator
+    while (ok && it.hasNext) ok = cuckoo.insertHash(it.next())
+    if (ok) cuckoo.serialize()
+    else {
+      val bloom = Bloom.create(math.max(expected, buf.length))
+      buf.foreach(bloom.insertHash)
+      bloom.serialize()
+    }
+  }
+}
