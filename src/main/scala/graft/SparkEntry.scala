@@ -257,6 +257,49 @@ object SparkEntry {
         planes = 8, cosThreshold = 0.5)
         .select($"id_a", $"id_b", round($"cosine", 4).as("cosine"))
         .orderBy($"id_a", $"id_b")
+    }),
+    // ---- north-rule frontier: one full wave over synthetic seeds ----
+    "q29_frontier_wave" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val ck = java.nio.file.Files.createTempDirectory("graft-frontier-q29").toString
+      val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, hostBudget = 5, seenShards = 16)
+      val f = new graft.frontier.Frontier(sp, cfg)
+      val n = t(dir, "documents").count().toInt.max(100)
+      f.initialize(graft.frontier.Frontier.syntheticSeeds(sp, n))
+      f.runWave(); f.runWave()
+      f.scheduledDf(2)
+        .select($"host", $"surt_key", $"priority", $"rank_in_host")
+        .orderBy($"priority", $"host", $"surt_key")
+    }),
+    // ---- multimodal: image decode + features ------------------------
+    "q30_image_features" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val n = t(dir, "documents").count()
+      val images = graft.frontier.ImageSynth.imagesTable(sp, n)
+      Multimodal.imageFeatures(images).toDF()
+        .select($"image_id", $"w", $"h",
+          round($"mean_r", 2).as("mean_r"), round($"mean_g", 2).as("mean_g"),
+          round($"mean_b", 2).as("mean_b"), $"phash", $"decode_ok")
+        .orderBy($"image_id")
+    }),
+    // ---- multimodal: perceptual-hash near-dup over images -----------
+    "q31_image_neardup" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val n = t(dir, "documents").count()
+      val images = sp.range(n).map(i =>
+        graft.frontier.ImageSynth.makeRow(42L, i % 50).copy(image_id = f"img$i%08d")).toDF()
+      Multimodal.imageNearDups(images, maxDist = 2)
+        .orderBy($"id_a", $"id_b")
+    }),
+    // ---- header parsing + decode over synthesized blocks ------------
+    "q32_parse_headers" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      Functions.registerAll(sp)
+      val blocks = t(dir, "documents").select($"doc_id",
+        concat(lit("Content-Type: text/plain\r\nX-Doc: d"), $"doc_id",
+          lit("\r\nSet-Cookie: a=1\r\nSet-Cookie: b=2\r\n\r\n")).as("block"))
+      blocks.select($"doc_id",
+          expr("parse_headers(block)").as("headers"))
+        .select($"doc_id", size($"headers").as("n_headers"),
+          Functions.headerGet($"headers", "set-cookie").as("cookies"),
+          Functions.headerGet($"headers", "x-doc").as("xdoc"))
+        .orderBy($"doc_id")
     })
   )
 

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.frontier.ImageSynth
+import java.awt.image.BufferedImage
+
+/** Multimodal column operators: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-batched passes.
+  *
+  * Images decode for real via `javax.imageio` (present in the JDK).
+  * Audio/video decodes are STUBBED behind deterministic fakes (the
+  * codec libraries are not in this container) — the Spark-side plumbing
+  * (schema, batching, partitioning) is real and tested; swap the stub
+  * for an FFI decode on a real cluster. */
+object Multimodal {
+
+  final case class ImageFeatures(
+      image_id: String,
+      w: Int,
+      h: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      phash: Long,
+      decode_ok: Boolean
+  )
+
+  /** Decode + feature-extract each image binary. mapPartitions keeps
+    * decoder setup per-task, not per-row. */
+  def imageFeatures(images: DataFrame): Dataset[ImageFeatures] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = ImageSynth.decode(bytes)
+            var r = 0.0; var g = 0.0; var b = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 255; g += (p >> 8) & 255; b += p & 255
+                x += 1
+              }
+              y += 1
+            }
+            val n = (img.getWidth * img.getHeight).toDouble
+            ImageFeatures(id, img.getWidth, img.getHeight, r / n, g / n, b / n,
+              ImageSynth.phash64(img), decode_ok = true)
+          } catch {
+            case _: Exception => ImageFeatures(id, -1, -1, 0, 0, 0, 0L, decode_ok = false)
+          }
+        }
+      }
+  }
+
+  /** Resize every image to (tw, th), re-encoding as PNG. */
+  def resizeImages(images: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val src = ImageSynth.decode(bytes)
+          val dst = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.drawImage(src.getScaledInstance(tw, th, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+          g.dispose()
+          (id, ImageSynth.encodePng(dst), tw, th)
+        }
+      }.toDF("image_id", "bytes", "w", "h")
+  }
+
+  /** Near-duplicate images via phash hamming distance ≤ maxDist,
+    * pigeonhole-banded like SimHash (shuffle on 16-bit chunk keys). */
+  def imageNearDups(images: DataFrame, maxDist: Int = 6): DataFrame = {
+    val feats = imageFeatures(images).toDF()
+    val chunks = 4
+    val spark = images.sparkSession
+    import spark.implicits._
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        col("phash").bitwiseAND(lit(0xffffL << (c * 16))).as("ck"))
+    }
+    val exploded = feats.filter(col("decode_ok"))
+      .withColumn("k", explode(array(chunkCols: _*)))
+      .select(col("k.chunk"), col("k.ck"), col("image_id"), col("phash"))
+    val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
+      val ds = docs.sortBy(_.getString(0)).take(1000)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
+      var i = 0
+      while (i < ds.length) {
+        var j = i + 1
+        while (j < ds.length) {
+          val d = java.lang.Long.bitCount(ds(i).getLong(1) ^ ds(j).getLong(1))
+          if (d <= maxDist) out += ((ds(i).getString(0), ds(j).getString(0), d))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    exploded.groupBy(col("chunk"), col("ck"))
+      .agg(collect_list(struct(col("image_id"), col("phash"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(pairUdf(col("docs"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  // ----------------------------------------------------------------
+  // Audio / video: STUBBED decoders, real plumbing
+  // ----------------------------------------------------------------
+
+  final case class FrameSample(media_id: String, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Video frame sampling. STUB: the "decoder" slices deterministic
+    * pseudo-frames out of the binary (marked clearly); the partition
+    * batching, schema and fan-out (one row per sampled frame) are the
+    * real pipeline shape. Replace `decodeFrameStub` with a real codec
+    * call on a cluster with codec libs. */
+  def sampleFrames(media: DataFrame, idCol: String, bytesCol: String,
+                   everyNth: Int = 10, maxFrames: Int = 8): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("string"), col(bytesCol)).as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = math.min(maxFrames, math.max(1, bytes.length / math.max(1, everyNth * 64)))
+        (0 until nFrames).map { f =>
+          (id, f * everyNth, decodeFrameStub(bytes, f * everyNth))
+        }
+      }.map(t => FrameSample(t._1, t._2, t._3))
+  }
+
+  /** STUB decode — deterministic fake: a 64-byte slice at a frame-
+    * dependent offset (wrap-around). NOT a real video decode. */
+  private def decodeFrameStub(bytes: Array[Byte], frameIdx: Int): Array[Byte] = {
+    if (bytes.isEmpty) return Array.emptyByteArray
+    val out = new Array[Byte](64)
+    var i = 0
+    while (i < 64) { out(i) = bytes(java.lang.Math.floorMod(frameIdx * 64 + i, bytes.length)); i += 1 }
+    out
+  }
+
+  /** Audio feature stub: deterministic "loudness" curve from byte energy
+    * per fixed-size window — real windowing/batching, fake DSP. */
+  def audioWindows(media: DataFrame, idCol: String, bytesCol: String,
+                   windowBytes: Int = 1024): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("string"), col(bytesCol)).as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(windowBytes).zipWithIndex.map { case (wdw, i) =>
+          var e = 0.0
+          wdw.foreach(b => e += (b & 0xff) * (b & 0xff))
+          (id, i, math.sqrt(e / math.max(1, wdw.length)))
+        }
+      }.toDF("media_id", "window_idx", "rms_energy")
+  }
+}
