@@ -34,6 +34,19 @@ object Functions {
   val hostOfFn: String => String = url =>
     if (url == null) null else UrlCanon.parse(url).map(_.host).orNull
 
+  /** Fused canonicalize+surt+host — one UDF boundary, minimal parses.
+    * The hot path of the frontier: 3 separate UDFs would re-parse the
+    * URL three times and pay three codegen↔JVM string conversions. */
+  val canonAllFn: String => (String, String, String) = url => {
+    if (url == null) (null, null, null)
+    else UrlCanon.parse(url) match {
+      case None => (null, null, null)
+      case Some(u) =>
+        val href = u.href
+        (href, UrlCanon.surt(href), u.host)
+    }
+  }
+
   /** Register every engine scalar for SQL + Column use. Idempotent. */
   def registerAll(spark: SparkSession): Unit = {
     val u = spark.udf
@@ -46,6 +59,7 @@ object Functions {
     u.register("post_to_get", postToGetFn)
     u.register("parse_headers", parseHeadersFn)
     u.register("host_of", hostOfFn)
+    u.register("canon_all", canonAllFn)
   }
 
   // ---- Column API ----

@@ -68,12 +68,15 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
   // URL canonicalization + keys
   // ----------------------------------------------------------------
 
-  /** url → (surt_key, canonical_url, host); unparseable URLs dropped. */
+  /** url → (surt_key, canonical_url, host); unparseable URLs dropped.
+    * Single fused UDF (one parse, one string-conversion boundary). */
   private def canonicalized(urls: DataFrame): DataFrame =
     urls
-      .withColumn("canonical_url", Functions.canonicalizeUrl(col("url")))
-      .withColumn("surt_key", Functions.surt(col("canonical_url")))
-      .withColumn("host", Functions.hostOf(col("canonical_url")))
+      .withColumn("c", call_udf("canon_all", col("url")))
+      .withColumn("canonical_url", col("c._1"))
+      .withColumn("surt_key", col("c._2"))
+      .withColumn("host", col("c._3"))
+      .drop("c")
       .filter(col("host").isNotNull && col("surt_key").isNotNull)
 
   // ----------------------------------------------------------------
@@ -222,7 +225,6 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
       .agg(min("priority").as("priority"),
         min("canonical_url").as("canonical_url"), min("host").as("host"))
     val pending = canon.select("surt_key", "canonical_url", "host", "priority")
-      .orderBy("priority", "surt_key")
     pending.write.mode("overwrite").parquet(dir("frontier", "wave=0"))
     pending.select("surt_key").write.mode("overwrite").parquet(dir("seen", "wave=0"))
     val n = spark.read.parquet(dir("frontier", "wave=0")).count()
@@ -237,6 +239,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     require(prev >= 0, "frontier not initialized")
     val wave = prev + 1
     val t0 = System.nanoTime()
+    val debug = sys.env.get("GRAFT_DEBUG").contains("1")
+    var tPhase = t0
+    def phase(name: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      System.err.println(f"[frontier] wave=$wave $name: ${(now - tPhase) / 1e9}%.2fs")
+      tPhase = now
+    }
 
     val pending = spark.read.parquet(dir("frontier", s"wave=$prev"))
     val seen = spark.read.parquet(dir("seen", s"wave=$prev"))
@@ -249,12 +258,14 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     scheduled.orderBy("priority", "host", "surt_key")
       .write.mode("overwrite").parquet(dir("scheduled", s"wave=$wave"))
     val scheduledR = spark.read.parquet(dir("scheduled", s"wave=$wave"))
+    phase("schedule+write")
 
     // per-partition lineage metrics
     scheduledR.groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("n_scheduled"), countDistinct(col("host")).as("n_hosts"))
       .withColumn("wave", lit(wave))
       .write.mode("overwrite").parquet(dir("metrics", s"wave=$wave"))
+    phase("metrics")
 
     // 2. discover outlinks of the scheduled batch; canonicalize + dedup
     val discovered = canonicalized(discoverOutlinks(scheduledR))
@@ -262,11 +273,15 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
       .groupBy("surt_key")
       .agg(min("priority").as("priority"),
         min("canonical_url").as("canonical_url"), min("host").as("host"))
-    val nCands = candNorm.count()
 
-    // 3. seen-set subtraction (cuckoo/bloom prefilter + exact anti-join)
+    // 3. seen-set subtraction (cuckoo/bloom prefilter + exact anti-join).
+    // `fresh` feeds BOTH state updates below — persist so the discovery
+    // + subtraction DAG runs once, not three times.
     val fresh = subtractSeen(
       candNorm.select("surt_key", "canonical_url", "host", "priority"), seen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nFresh = fresh.count()
+    phase("discover+subtract")
 
     // 4. new state: pending minus scheduled, plus fresh discoveries
     val stillPending = pending.join(
@@ -276,19 +291,24 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
       .agg(min("priority").as("priority"),
         min("canonical_url").as("canonical_url"), min("host").as("host"))
       .select("surt_key", "canonical_url", "host", "priority")
-    newPending.orderBy("priority", "surt_key")
-      .write.mode("overwrite").parquet(dir("frontier", s"wave=$wave"))
+    // internal state is written UNSORTED — ordering semantics live in
+    // the data itself (priority, surt_key, rank_in_host); only the
+    // user-facing scheduled output pays for a global sort
+    newPending.write.mode("overwrite").parquet(dir("frontier", s"wave=$wave"))
+    phase("newPending write")
 
     val newSeen = seen.select("surt_key")
       .unionByName(fresh.select("surt_key")).distinct()
-    newSeen.orderBy("surt_key").write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
+    newSeen.write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
+    fresh.unpersist(blocking = false)
+    phase("newSeen write")
 
-    val nScheduled = scheduledR.count()
-    val nFresh = fresh.count()
+    // counts from the written parquet (metadata-only, no recompute)
+    val nScheduled = spark.read.parquet(dir("scheduled", s"wave=$wave")).count()
     val nSeen = spark.read.parquet(dir("seen", s"wave=$wave")).count()
     val nPending = spark.read.parquet(dir("frontier", s"wave=$wave")).count()
-    val res = WaveResult(wave, nCands, nCands, nFresh, allowed.count(), nScheduled,
-      nSeen, nPending, (System.nanoTime() - t0) / 1e9)
+    val res = WaveResult(wave, nFresh, nFresh, nFresh, nScheduled,
+      nScheduled, nSeen, nPending, (System.nanoTime() - t0) / 1e9)
     commit(wave, res)
     res
   }
