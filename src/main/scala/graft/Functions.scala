@@ -62,11 +62,12 @@ object Functions {
     u.register("canon_all", canonAllFn)
   }
 
-  // ---- Column API ----
-  def surt(c: Column): Column = call_udf("surt", c)
-  def canonicalizeUrl(c: Column): Column = call_udf("canonicalize_url", c)
-  def timestamp14(c: Column): Column = call_udf("timestamp14", c)
-  def sha1B32(c: Column): Column = call_udf("sha1_b32", c)
+  // ---- Column API (native Catalyst expressions — codegen'd, no UDF
+  // boundary; the registered UDFs above remain for SQL-name compat) ----
+  def surt(c: Column): Column = graft.plans.NativeFunctions.surt(c)
+  def canonicalizeUrl(c: Column): Column = graft.plans.NativeFunctions.canonicalUrl(c)
+  def timestamp14(c: Column): Column = graft.plans.NativeFunctions.timestamp14(c)
+  def sha1B32(c: Column): Column = graft.plans.NativeFunctions.sha1B32(c)
   def decodePayload(p: Column, ce: Column, te: Column): Column = call_udf("decode_payload", p, ce, te)
   def hostOf(c: Column): Column = call_udf("host_of", c)
 
