@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class WarcDataSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  test("format(\"warc\") reads fixtures with offset/length parity") {
+    val df = spark.read.format("warc").load(fixturePath("example.warc.gz"))
+    val rows = df.select("offset", "length", "warcType")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toVector
+    assert(rows == Vector(
+      (0L, 353L, "warcinfo"), (353L, 431L, "warcinfo"),
+      (784L, 1228L, "response"), (2012L, 609L, "request"),
+      (2621L, 586L, "revisit"), (3207L, 609L, "request")))
+  }
+
+  test("v2 scan agrees with the v1 binaryFile scan") {
+    val v2 = spark.read.format("warc").load(fixturePath("example.warc")).collect()
+    val v1 = WarcScan.warcRecords(spark, Seq(fixturePath("example.warc"))).toDF().collect()
+    assert(v2.length == v1.length)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("offset"), r.getAs[String]("warcType"), r.getAs[String]("recordId"))
+    assert(v2.map(key).toSet == v1.map(key).toSet)
+  }
+
+  test("column pruning reaches the scan (payload not materialized)") {
+    val df = spark.read.format("warc").load(fixturePath("example.warc.gz"))
+      .select("offset", "warcType")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=offset,warcType") || !plan.contains("payload"),
+      s"payload not pruned:\n$plan")
+    assert(df.count() == 6)
+  }
+
+  test("warcType filter pushes down into the scan") {
+    val df = spark.read.format("warc").load(fixturePath("example.warc.gz"))
+      .filter(col("warcType") === "response")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(df.count() == 1)
+    assert(desc.contains("typeFilter=response"), s"filter not pushed:\n$desc")
+  }
+
+  test("multi-file load unions per-file partitions") {
+    val df = spark.read.format("warc")
+      .load(fixturePath("example.warc.gz"), fixturePath("example-resource.warc.gz"))
+    assert(df.select("filename").distinct().count() == 2)
+    assert(df.rdd.getNumPartitions == 2)
+  }
+}
