@@ -288,6 +288,30 @@ object SparkEntry {
       Multimodal.imageNearDups(images, maxDist = 2)
         .orderBy($"id_a", $"id_b")
     }),
+    // ---- streaming: watermarked windowed agg over events (AvailableNow)
+    "q33_stream_window" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val schema = sp.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source wants a directory: stage the table file
+      val stage = java.nio.file.Files.createTempDirectory("q33-events")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val stream = sp.readStream.schema(schema).parquet(stage.toString)
+        .withColumn("ts", $"ts".cast("timestamp")) // NTZ → event-time type
+      val windowed = graft.streaming.Streams.windowedEventCounts(stream)
+      val name = "q33_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.Streams.runAvailableNowComplete(windowed, name)
+        .select($"window_start", $"event_type", $"n", round($"sum_value", 4).as("sum_value"))
+        .orderBy($"window_start", $"event_type")
+    }),
+    // ---- ANN batch top-k (broadcast queries + per-group window) ------
+    "q34_batch_topk" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val e = t(dir, "embeddings")
+      val queries = e.filter($"vec_id" < 3)
+      val corpus = e.filter($"vec_id" >= 3)
+      Similarity.batchTopK(corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+        .select($"qid", $"cid", round($"cosine", 4).as("cosine"), $"rank")
+        .orderBy($"qid", $"rank")
+    }),
     // ---- header parsing + decode over synthesized blocks ------------
     "q32_parse_headers" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       Functions.registerAll(sp)
@@ -413,6 +437,22 @@ object SparkEntry {
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     "q20_lang_dist" ->
       """SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        | count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q34_batch_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])), 4) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |        CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 3 AND c.vec_id >= 3)
+        |SELECT qid, cid, cosine, rank FROM scored WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin
   )
 }
