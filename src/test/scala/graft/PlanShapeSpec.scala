@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audit: the properties that matter at 100 TB, asserted on
+  * the actual optimized plans (would catch regressions like a lost
+  * pushdown or a broadcast that degraded to sort-merge). */
+class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03: filter + projection are pushed into the parquet scan") {
+    val p = plan("q03_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("event_type"), "event_type filter not pushed")
+    // column pruning: props column is never read
+    assert(!p.contains("props"), "unused column 'props' read from parquet")
+  }
+
+  test("q02: dimension table joins are broadcast, not shuffled") {
+    val p = plan("q02_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q07: global top-k uses TakeOrderedAndProject, not a full sort") {
+    val p = plan("q07_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")
+  }
+
+  test("q19: ANN brute force has no UDF in the scoring path") {
+    val p = plan("q19_cosine_topk")
+    assert(!p.toLowerCase.contains("batchevalpython"), "python udf in plan")
+    assert(p.contains("aggregate("), s"built-in higher-order fn expected:\n$p")
+  }
+
+  test("warc cdx pipeline stays narrow (no exchange before the final sort)") {
+    val df = SparkEntry.queries("q25_warc_cdx")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p") // range sort (+AQE shuffle read)
+  }
+}
