@@ -227,7 +227,12 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
     "q22_simhash_pairs" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
-      Dedup.simhashPairs(t(dir, "documents"), "doc_id", "text", maxDist = 16)
+      // near-dup corpus: every doc + a lightly mutated copy (one word
+      // appended) — simhash at small hamming distance must pair them
+      val docs = t(dir, "documents").select($"doc_id", $"text")
+      val mutated = docs.select(($"doc_id" + 1000000).as("doc_id"),
+        concat($"text", lit(" zzextra")).as("text"))
+      Dedup.simhashPairs(docs.unionByName(mutated), "doc_id", "text", maxDist = 3)
         .orderBy($"id_a", $"id_b")
     }),
     "q23_fingerprint" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
@@ -253,8 +258,13 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
     "q28_embed_neardup" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
-      Dedup.embeddingPairs(t(dir, "embeddings"), "vec_id", "embedding",
-        planes = 8, cosThreshold = 0.5)
+      // near-dup corpus: every vector + a same-direction copy (scaled
+      // 1.001x ⇒ cosine 1) — LSH bucketing must pair originals+copies
+      val e = t(dir, "embeddings").select($"vec_id", $"embedding")
+      val copies = e.select(($"vec_id" + 1000000).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+      Dedup.embeddingPairs(e.unionByName(copies), "vec_id", "embedding",
+        planes = 16, cosThreshold = 0.95)
         .select($"id_a", $"id_b", round($"cosine", 4).as("cosine"))
         .orderBy($"id_a", $"id_b")
     }),
