@@ -322,6 +322,19 @@ object SparkEntry {
         .select($"qid", $"cid", round($"cosine", 4).as("cosine"), $"rank")
         .orderBy($"qid", $"rank")
     }),
+    // ---- north rule: frontier seeded FROM the images+caption table --
+    "q35_frontier_from_images" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val n = t(dir, "documents").count()
+      val images = graft.frontier.ImageSynth.imagesTable(sp, n)
+      val ck = java.nio.file.Files.createTempDirectory("graft-frontier-q35").toString
+      val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, hostBudget = 3, seenShards = 8)
+      val f = new graft.frontier.Frontier(sp, cfg)
+      f.initialize(graft.frontier.Frontier.seedsFromImages(images))
+      f.runWave()
+      f.scheduledDf(1)
+        .select($"host", $"surt_key", $"priority", $"rank_in_host")
+        .orderBy($"priority", $"host", $"surt_key")
+    }),
     // ---- header parsing + decode over synthesized blocks ------------
     "q32_parse_headers" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       Functions.registerAll(sp)

@@ -319,6 +319,16 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
 }
 
 object Frontier {
+  /** Seed list extracted from the images table (north rule: the frontier
+    * runs OVER the image+caption corpus): each caption carries a URL
+    * token; priority derives from the perceptual hash so identical
+    * images crawl at identical priority. */
+  def seedsFromImages(images: DataFrame): DataFrame =
+    images.select(
+      regexp_extract(col("caption"), "(https?://\\S+)", 1).as("url"),
+      pmod(col("phash"), lit(100)).cast("int").as("priority"))
+      .filter(length(col("url")) > 0)
+
   /** Deterministic seed list synthesized from the images/documents
     * tables (no external data): URL-shaped strings exercising every SURT
     * category (www prefixes, ports, query sort, %-encoding). */

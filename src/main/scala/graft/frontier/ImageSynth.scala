@@ -140,7 +140,7 @@ object ImageSynth {
   def captionFor(seed: Long, idx: Long): String = {
     val moods = Vector("calm", "vivid", "dark", "bright", "soft")
     val m = moods((java.lang.Math.floorMod(mix(seed + idx), moods.size.toLong)).toInt)
-    s"img$idx: a $m sinusoid field — ünïcode 測試 ✓ https://www.images.example.com/v/$idx?b=2&a=1"
+    s"img$idx: a $m sinusoid field — ünïcode 測試 ✓ https://www.images-${idx % 20}.example.com/v/$idx?b=2&a=1"
   }
 
   def makeRow(seed: Long, idx: Long): ImageRow = {
