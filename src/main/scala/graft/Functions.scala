@@ -42,8 +42,7 @@ object Functions {
     else UrlCanon.parse(url) match {
       case None => (null, null, null)
       case Some(u) =>
-        val href = u.href
-        (href, UrlCanon.surt(href), u.host)
+        (u.href, UrlCanon.surtOfParsed(u), u.host)
     }
   }
 

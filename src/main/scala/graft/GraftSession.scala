@@ -13,6 +13,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft-warc-engine")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -183,6 +183,48 @@ object UrlCanon {
 
   private val WWW_RE = "^(https?://)www\\d*\\.".r
 
+  /** Strip a leading `www`/`wwwN.` host label (the SURT www rule). */
+  private def stripWww(host: String): String = {
+    if (!host.startsWith("www")) return host
+    var i = 3
+    while (i < host.length && host.charAt(i).isDigit) i += 1
+    if (i < host.length && host.charAt(i) == '.') host.substring(i + 1) else host
+  }
+
+  /** SURT computed from an ALREADY-PARSED, normalized URL — equivalent
+    * to `surt(u.href)` for parse outputs (normalization is idempotent)
+    * but skips the second parse and the www regex. The frontier hot
+    * path uses this. */
+  def surtOfParsed(u: Url): String = {
+    if (u.scheme != "http" && u.scheme != "https") return u.href
+    val host = stripWww(u.host)
+    val sb = new StringBuilder(u.href.length)
+    // reversed host labels joined by ','
+    var end = host.length
+    var first = true
+    var i = host.length - 1
+    while (i >= 0) {
+      if (host.charAt(i) == '.') {
+        if (!first) sb.append(',')
+        sb.append(host.substring(i + 1, end))
+        first = false
+        end = i
+      }
+      i -= 1
+    }
+    if (!first) sb.append(',')
+    sb.append(host.substring(0, end))
+    u.port.foreach(p => sb.append(':').append(p))
+    sb.append(')')
+    sb.append(u.path.toLowerCase(java.util.Locale.ROOT))
+    u.query.filter(_.nonEmpty).foreach { q =>
+      val args = q.toLowerCase(java.util.Locale.ROOT).split("&", -1)
+      java.util.Arrays.sort(args.asInstanceOf[Array[Object]])
+      sb.append('?').append(args.mkString("&"))
+    }
+    sb.toString
+  }
+
   /** SURT per /root/reference/src/lib/utils.ts:31-56: http(s) only; strip
     * a leading `www\d*.`; lowercase the WHOLE url; reversed host labels
     * joined by ','; non-default `:port`; `)` + pathname; query args
@@ -191,7 +233,7 @@ object UrlCanon {
     if (rawUrl == null) return null
     if (!rawUrl.startsWith("https:") && !rawUrl.startsWith("http:")) return rawUrl
     val url = WWW_RE.replaceFirstIn(rawUrl, "$1")
-    parse(url.toLowerCase) match {
+    parse(url.toLowerCase(java.util.Locale.ROOT)) match {
       case None => url
       case Some(u) =>
         val sb = new StringBuilder

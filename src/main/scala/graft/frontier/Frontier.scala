@@ -283,13 +283,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     val nFresh = fresh.count()
     phase("discover+subtract")
 
-    // 4. new state: pending minus scheduled, plus fresh discoveries
+    // 4. new state: pending minus scheduled, plus fresh discoveries.
+    // No re-dedup needed: `stillPending` ⊆ seen and `fresh` ∩ seen = ∅
+    // (fresh was anti-joined), and both sides are internally deduped —
+    // so plain unions replace two full-state shuffles per wave.
     val stillPending = pending.join(
       scheduledR.select("surt_key"), Seq("surt_key"), "left_anti")
     val newPending = stillPending.unionByName(fresh)
-      .groupBy("surt_key")
-      .agg(min("priority").as("priority"),
-        min("canonical_url").as("canonical_url"), min("host").as("host"))
       .select("surt_key", "canonical_url", "host", "priority")
     // internal state is written UNSORTED — ordering semantics live in
     // the data itself (priority, surt_key, rank_in_host); only the
@@ -298,7 +298,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     phase("newPending write")
 
     val newSeen = seen.select("surt_key")
-      .unionByName(fresh.select("surt_key")).distinct()
+      .unionByName(fresh.select("surt_key"))
     newSeen.write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
     fresh.unpersist(blocking = false)
     phase("newSeen write")

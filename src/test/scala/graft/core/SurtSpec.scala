@@ -95,3 +95,23 @@ class PostToGetSpec extends AnyFunSuite {
     assert(PostToGet.postToGetUrl("https://x.com/", "GET", Seq.empty, Array.emptyByteArray).isEmpty)
   }
 }
+
+/** surtOfParsed must equal surt(href) for every parseable URL. */
+class SurtEquivalenceSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("surtOfParsed == surt(href) over a seeded URL sweep") {
+    val rnd = new scala.util.Random(11)
+    val hosts = Seq("www.example.com", "www2.Example.org", "a.b.c.example.net",
+      "host5.example.org", "www.example.com:8443", "example.com:80")
+    for (_ <- 1 to 2000) {
+      val scheme = if (rnd.nextBoolean()) "https" else "http"
+      val host = hosts(rnd.nextInt(hosts.size))
+      val path = (0 until rnd.nextInt(4)).map(_ => s"Seg${rnd.nextInt(50)}").mkString("/", "/", "")
+      val query = if (rnd.nextBoolean()) "?" + (0 until (1 + rnd.nextInt(4)))
+        .map(i => s"K${rnd.nextInt(20)}=v${rnd.nextInt(9)}").mkString("&") else ""
+      val url = s"$scheme://$host$path$query"
+      UrlCanon.parse(url).foreach { u =>
+        assert(UrlCanon.surtOfParsed(u) == UrlCanon.surt(u.href), s"mismatch for $url")
+      }
+    }
+  }
+}
