@@ -335,6 +335,70 @@ object SparkEntry {
         .select($"host", $"surt_key", $"priority", $"rank_in_host")
         .orderBy($"priority", $"host", $"surt_key")
     }),
+    // ---- J3: revisit resolution by payload digest --------------------
+    "q36_revisit_resolve" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      // corpus: responses + revisits of every 5th doc (identical payload
+      // digest); resolve each revisit to its original response record
+      val docs = t(dir, "documents").select($"doc_id".cast("long"), $"text")
+      val warcRows = docs.as[(Long, String)].mapPartitions { it =>
+        it.flatMap { case (docId, text) =>
+          val url = s"https://www.example.com/doc/$docId"
+          val date = f"2020-01-01T00:${(docId / 60) % 60}%02d:${docId % 60}%02dZ"
+          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val resp = graft.core.WarcWriter.create(url = url, date = date,
+            warcType = "response", httpHeaders = Seq("Content-Type" -> "text/plain"),
+            payload = body, recordId = f"00000000-0000-0000-0000-$docId%012d")
+          val respBytes = graft.core.WarcWriter.serialize(resp, graft.core.WarcWriter.CdxDigest, gzip = true)
+          val out = scala.collection.mutable.ArrayBuffer(
+            ("resp", graft.core.WarcFraming.parseFile(respBytes, s"d$docId.warc.gz", isGzip = true).head))
+          if (docId % 5 == 0) {
+            val digest = out.head._2.warcHeader("WARC-Payload-Digest").get
+            val rev = graft.core.WarcWriter.create(url = url + "?rev=1",
+              date = "2021-01-01T00:00:00Z", warcType = "revisit",
+              refersToUrl = url, refersToDate = date,
+              recordId = f"00000000-0000-0000-0001-$docId%012d")
+            val revBytes = graft.core.WarcWriter.serialize(rev, graft.core.WarcWriter.CdxDigest,
+              gzip = true, payloadDigestForRevisit = digest)
+            out += (("rev", graft.core.WarcFraming.parseFile(revBytes, s"r$docId.warc.gz", isGzip = true).head))
+          }
+          out.iterator.map { case (kind, fr) =>
+            (kind, fr.warcTargetURI, fr.warcHeader("WARC-Payload-Digest").orNull, fr.filename)
+          }
+        }
+      }.toDF("kind", "url", "payload_digest", "filename")
+      val responses = warcRows.filter($"kind" === "resp")
+        .select($"payload_digest", $"url".as("original_url"), $"filename".as("original_file"))
+      val revisits = warcRows.filter($"kind" === "rev")
+        .select($"payload_digest", $"url".as("revisit_url"))
+      // equi-join on digest: each revisit resolves to its original
+      revisits.join(responses, Seq("payload_digest"))
+        .select($"revisit_url", $"original_url", $"payload_digest")
+        .orderBy($"revisit_url")
+    }),
+    // ---- D1-D3: transfer + content decode round-trip -----------------
+    "q37_payload_decode" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      Functions.registerAll(sp)
+      val docs = t(dir, "documents").select($"doc_id", $"text")
+      // chunk-encode then gzip each text; decode_payload must invert both
+      val encoded = docs.as[(Long, String)].map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val gz = graft.core.GzipMembers.gzipMember(raw)
+        val chunked = new java.io.ByteArrayOutputStream()
+        gz.grouped(100).foreach { c =>
+          chunked.write((c.length.toHexString + "\r\n").getBytes)
+          chunked.write(c); chunked.write("\r\n".getBytes)
+        }
+        chunked.write("0\r\n\r\n".getBytes)
+        (id, chunked.toByteArray)
+      }.toDF("doc_id", "body")
+      encoded.select($"doc_id",
+          Functions.decodePayload($"body", lit("gzip"), lit("chunked")).as("decoded"))
+        .join(docs, "doc_id")
+        .select($"doc_id",
+          ($"decoded".cast("string") === $"text").as("roundtrip_ok"),
+          length($"decoded").as("n_bytes"))
+        .orderBy($"doc_id")
+    }),
     // ---- header parsing + decode over synthesized blocks ------------
     "q32_parse_headers" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       Functions.registerAll(sp)
