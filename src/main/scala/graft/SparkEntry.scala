@@ -399,6 +399,21 @@ object SparkEntry {
           length($"decoded").as("n_bytes"))
         .orderBy($"doc_id")
     }),
+    // ---- bloom prefilter + exact verify (seen-set fallback path) -----
+    "q38_bloom_prefilter" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val c = t(dir, "customer").filter($"c_acctbal" > 5000.0)
+      val o = t(dir, "orders")
+      // Spark's built-in BloomFilter as the executor-side prefilter…
+      val bloom = c.stat.bloomFilter($"c_custkey", 100000L, 0.01)
+      val b = sp.sparkContext.broadcast(bloom)
+      val mightSee = udf((k: Long) => b.value.mightContain(k))
+      val prefiltered = o.filter(mightSee($"o_custkey"))
+      // …then the exact semi-join guarantees correctness (FPs removed)
+      prefiltered.join(c.select($"c_custkey"), $"o_custkey" === $"c_custkey", "left_semi")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 4).as("total"))
+        .orderBy($"o_custkey")
+    }),
     // ---- header parsing + decode over synthesized blocks ------------
     "q32_parse_headers" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       Functions.registerAll(sp)
@@ -529,6 +544,12 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q38_bloom_prefilter" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_acctbal > 5000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q34_batch_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -83,17 +83,26 @@ object WarcScan {
     * downstream plan does not need `payload`, pass
     * `withPayload = false` so the scan drops payload bytes at the source
     * (the reference's skipFully-vs-readFully distinction). */
-  def warcRecords(spark: SparkSession, paths: Seq[String], withPayload: Boolean = true): Dataset[WarcRow] = {
+  def warcRecords(spark: SparkSession, paths: Seq[String], withPayload: Boolean = true,
+                  lenient: Boolean = true): Dataset[WarcRow] = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile").load(paths: _*)
       .select("path", "content")
     bin.as[(String, Array[Byte])].flatMap { case (path, content) =>
       val name = path.substring(path.lastIndexOf('/') + 1)
-      WarcFraming.parseFile(content, name, WarcFraming.isGzipName(name))
-        .map { fr =>
-          val row = WarcRow.fromFramed(fr)
-          if (withPayload) row else row.copy(payload = Array.emptyByteArray)
+      // lenient: at corpus scale one corrupt file must not fail the job —
+      // log and skip (the strict mode surfaces the exception for tests)
+      val parsed =
+        try WarcFraming.parseFile(content, name, WarcFraming.isGzipName(name))
+        catch {
+          case e: Exception if lenient =>
+            System.err.println(s"[warc-scan] skipping corrupt file $name: ${e.getMessage}")
+            Vector.empty[FramedRecord]
         }
+      parsed.map { fr =>
+        val row = WarcRow.fromFramed(fr)
+        if (withPayload) row else row.copy(payload = Array.emptyByteArray)
+      }
     }
   }
 

@@ -49,3 +49,17 @@ class WarcDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(df.rdd.getNumPartitions == 2)
   }
 }
+
+class LenientScanSpec extends org.scalatest.funsuite.AnyFunSuite with graft.SparkTestBase {
+  test("lenient scan skips a corrupt file instead of failing the job") {
+    val dir = java.nio.file.Files.createTempDirectory("lenient")
+    val good = java.nio.file.Paths.get(fixturePath("example.warc.gz"))
+    java.nio.file.Files.copy(good, dir.resolve("good.warc.gz"))
+    // truncated gzip: invalid member
+    val corrupt = java.nio.file.Files.readAllBytes(good).take(100)
+    java.nio.file.Files.write(dir.resolve("bad.warc.gz"), corrupt)
+    val rows = WarcScan.warcRecords(spark, Seq(dir.toString)).collect()
+    assert(rows.length == 6) // only the good file's records
+    assert(rows.forall(_.filename == "good.warc.gz"))
+  }
+}
