@@ -171,10 +171,6 @@ object CdxIndexing {
     def next(): PairedRecord = { fill(); pending.dequeue() }
   }
 
-  /** Null-safe target-URI equality with JS `!=` semantics on undefined
-    * (both missing ⇒ equal). */
-  private def uriEq(a: String, b: String): Boolean = a == b
-
   // -------------------------------------------------------------------
   // Row assembly
   // -------------------------------------------------------------------

@@ -41,8 +41,6 @@ final case class FramedRecord(
   * /root/reference/src/lib/warcparser.ts:57-183. */
 object WarcFraming {
 
-  val WGET_URI_RE = "^<(.*)>$"
-
   /** Parse one WARC file. Gzip is detected by content (magic bytes), not
     * extension — the reference's reader always tries gzip and falls back
     * to passthrough (readers.ts:316-322), so a gzipped file named `.warc`
