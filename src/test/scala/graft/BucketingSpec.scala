@@ -11,6 +11,15 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
   test("bucketed tables join without any shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
+    // a fresh derby metastore won't know about stale dirs from previous
+    // JVMs — remove the locations directly
+    for (t <- Seq("orders_b", "customer_b")) {
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
 
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
     val c = spark.read.parquet(s"$sfDir/customer.parquet")
