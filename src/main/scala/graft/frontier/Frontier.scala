@@ -91,34 +91,43 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     udf((key: String) => java.lang.Math.floorMod(SeenFilter.hashKey(key), n.toLong).toInt)
   }
 
-  /** Build serialized filter shards from the seen keys table. */
-  private def buildShards(seen: DataFrame): DataFrame = {
-    val shards = cfg.seenShards
-    seen.select(col("surt_key"), shardOfUdf(col("surt_key")).as("shard"))
-      .repartition(math.min(shards, 64), col("shard"))
-      .mapPartitions { it =>
-        val byShard = it.toVector.groupBy(_.getInt(1))
-        byShard.iterator.map { case (shard, rows) =>
-          (shard, SeenFilter.buildShard(rows.iterator.map(_.getString(0)), rows.size.toLong))
-        }
-      }.toDF("shard", "filter")
+  /** Incrementally maintained filter-shard chains: each wave inserts
+    * only the NEW keys into its shard's chain — O(fresh) maintenance,
+    * not O(seen) (SeenFilter.updateShardChain appends a blob on
+    * overflow). `prevShards` may be empty (wave 0). */
+  private def updateShards(prevShards: DataFrame, newKeys: DataFrame): DataFrame = {
+    val grouped = newKeys
+      .select(col("surt_key"), shardOfUdf(col("surt_key")).as("shard"))
+      .groupBy("shard").agg(collect_list("surt_key").as("new_keys"))
+    prevShards.join(grouped, Seq("shard"), "full_outer")
+      .select(col("shard"), col("filters"), col("new_keys"))
+      .as[(Int, Seq[Array[Byte]], Seq[String])]
+      .map { case (shard, filters, newKeys) =>
+        (shard, SeenFilter.updateShardChain(
+          Option(filters).getOrElse(Seq.empty),
+          Option(newKeys).getOrElse(Seq.empty)))
+      }.toDF("shard", "filters")
+  }
+
+  private def emptyShards(): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("shard", IntegerType),
+        StructField("filters", ArrayType(BinaryType)))))
   }
 
   /** Split candidates into definitely-new vs maybe-seen using the
-    * broadcast shard map, then exact-anti-join only the maybe side. */
-  private def subtractSeen(cands: DataFrame, seen: DataFrame): DataFrame = {
-    val shardMap: Map[Int, Array[Byte]] =
-      buildShards(seen).as[(Int, Array[Byte])].collect().toMap
+    * broadcast shard-chain map, then exact-anti-join only the maybe
+    * side (approximate filters can never drop a URL — they only shrink
+    * the exact join's probe side). */
+  private def subtractSeen(cands: DataFrame, seen: DataFrame, shards: DataFrame): DataFrame = {
+    val shardMap: Map[Int, Seq[Array[Byte]]] =
+      shards.as[(Int, Seq[Array[Byte]])].collect().toMap
     if (shardMap.isEmpty) return cands
-    val b = spark.sparkContext.broadcast(shardMap)
-    val nShards = cfg.seenShards
-    val mightBeSeen = udf((key: String) => {
-      val shard = java.lang.Math.floorMod(SeenFilter.hashKey(key), nShards.toLong).toInt
-      b.value.get(shard) match {
-        case Some(f) => SeenFilter.mightContain(f, key)
-        case None    => false
-      }
-    })
+    // ShardProbe parses blobs once per executor (transient lazy), so the
+    // per-row probe is just a hash + table lookup
+    val b = spark.sparkContext.broadcast(new SeenFilter.ShardProbe(shardMap, cfg.seenShards))
+    val mightBeSeen = udf((key: String) => b.value.mightContain(key))
     val flagged = cands.withColumn("maybe_seen", mightBeSeen(col("surt_key")))
     val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
     val maybe = flagged.filter(col("maybe_seen")).drop("maybe_seen")
@@ -220,13 +229,25 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     * priority). Commits wave 0 (nothing scheduled yet). */
   def initialize(seeds: DataFrame): WaveResult = {
     val t0 = System.nanoTime()
+    val debug = sys.env.get("GRAFT_DEBUG").contains("1")
+    var tPhase = t0
+    def phase(name: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      System.err.println(f"[frontier] init $name: ${(now - tPhase) / 1e9}%.2fs")
+      tPhase = now
+    }
     val canon = canonicalized(seeds)
       .groupBy("surt_key")
       .agg(min("priority").as("priority"),
         min("canonical_url").as("canonical_url"), min("host").as("host"))
     val pending = canon.select("surt_key", "canonical_url", "host", "priority")
     pending.write.mode("overwrite").parquet(dir("frontier", "wave=0"))
+    phase("frontier write")
     pending.select("surt_key").write.mode("overwrite").parquet(dir("seen", "wave=0"))
+    phase("seen write")
+    updateShards(emptyShards(), spark.read.parquet(dir("seen", "wave=0")))
+      .write.mode("overwrite").parquet(dir("shards", "wave=0"))
+    phase("shards build")
     val n = spark.read.parquet(dir("frontier", "wave=0")).count()
     val res = WaveResult(0, n, n, n, n, 0, n, n, (System.nanoTime() - t0) / 1e9)
     commit(0, res)
@@ -249,6 +270,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
 
     val pending = spark.read.parquet(dir("frontier", s"wave=$prev"))
     val seen = spark.read.parquet(dir("seen", s"wave=$prev"))
+    val shards = spark.read.parquet(dir("shards", s"wave=$prev"))
 
     // 1. schedule from pending under politeness budget
     val allowed = applyRobots(pending)
@@ -278,7 +300,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     // `fresh` feeds BOTH state updates below — persist so the discovery
     // + subtraction DAG runs once, not three times.
     val fresh = subtractSeen(
-      candNorm.select("surt_key", "canonical_url", "host", "priority"), seen)
+      candNorm.select("surt_key", "canonical_url", "host", "priority"), seen, shards)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nFresh = fresh.count()
     phase("discover+subtract")
@@ -300,8 +322,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     val newSeen = seen.select("surt_key")
       .unionByName(fresh.select("surt_key"))
     newSeen.write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
-    fresh.unpersist(blocking = false)
     phase("newSeen write")
+
+    // incremental shard maintenance: insert only this wave's fresh keys
+    updateShards(shards, fresh.select("surt_key"))
+      .write.mode("overwrite").parquet(dir("shards", s"wave=$wave"))
+    fresh.unpersist(blocking = false)
+    phase("shards update")
 
     // counts from the written parquet (metadata-only, no recompute)
     val nScheduled = spark.read.parquet(dir("scheduled", s"wave=$wave")).count()

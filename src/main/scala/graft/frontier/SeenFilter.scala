@@ -176,13 +176,39 @@ object SeenFilter {
     }
   }
 
-  /** Polymorphic probe over a serialized shard (cuckoo or bloom). */
-  def mightContain(shardBytes: Array[Byte], key: String): Boolean = {
-    val magic = java.nio.ByteBuffer.wrap(shardBytes).getInt()
-    val h = hashKey(key)
-    if (magic == 0x43554b31) Cuckoo.deserialize(shardBytes).mightContainHash(h)
-    else Bloom.deserialize(shardBytes).mightContainHash(h)
+  /** Common probe interface over parsed filters. */
+  sealed trait Probe extends Serializable { def mightContainHash(h: Long): Boolean }
+
+  /** Parse a blob once; probe many times (deserializing per probe would
+    * copy the whole table per row — the cardinal sin of the hot path). */
+  def parse(blob: Array[Byte]): Probe =
+    if (java.nio.ByteBuffer.wrap(blob).getInt() == 0x43554b31) {
+      val c = Cuckoo.deserialize(blob)
+      new Probe { def mightContainHash(h: Long): Boolean = c.mightContainHash(h) }
+    } else {
+      val b = Bloom.deserialize(blob)
+      new Probe { def mightContainHash(h: Long): Boolean = b.mightContainHash(h) }
+    }
+
+  /** Broadcast-friendly shard-map probe: ships the raw blobs, parses
+    * them ONCE per executor (transient lazy), probes per key. */
+  final class ShardProbe(blobs: Map[Int, Seq[Array[Byte]]], nShards: Int) extends Serializable {
+    @transient private lazy val parsed: Map[Int, Seq[Probe]] =
+      blobs.map { case (k, chain) => k -> chain.map(parse) }
+    def isEmpty: Boolean = blobs.isEmpty
+    def mightContain(key: String): Boolean = {
+      val h = hashKey(key)
+      parsed.get(java.lang.Math.floorMod(h, nShards.toLong).toInt) match {
+        case Some(chain) => chain.exists(_.mightContainHash(h))
+        case None        => false
+      }
+    }
   }
+
+  /** Polymorphic probe over a serialized shard (cuckoo or bloom) —
+    * convenience for tests; use ShardProbe/parse in hot paths. */
+  def mightContain(shardBytes: Array[Byte], key: String): Boolean =
+    parse(shardBytes).mightContainHash(hashKey(key))
 
   /** Build one shard from an iterator of keys: cuckoo first, bloom
     * fallback if the cuckoo overflows (reference-north-rule behavior). */
@@ -199,5 +225,54 @@ object SeenFilter {
       buf.foreach(bloom.insertHash)
       bloom.serialize()
     }
+  }
+
+  // =================================================================
+  // Incremental shard chains
+  // =================================================================
+  // A shard is a CHAIN of filter blobs: probes check every blob; new
+  // keys insert into the newest cuckoo blob, and when it fills a fresh
+  // blob (sized ≥ 2× the last) is appended. This makes per-wave filter
+  // maintenance O(new keys) instead of O(all seen keys) — at 10^10 URLs
+  // rebuilding every wave would dominate the wave.
+
+  def mightContainChain(blobs: Seq[Array[Byte]], key: String): Boolean = {
+    val h = hashKey(key)
+    blobs.exists(b => parse(b).mightContainHash(h))
+  }
+
+  /** Insert `keys` into the chain, appending a new blob on overflow. */
+  def updateShardChain(blobs: Seq[Array[Byte]], keys: Seq[String]): Seq[Array[Byte]] = {
+    if (keys.isEmpty) return blobs
+    val out = blobs.toBuffer
+    var remaining: List[Long] = keys.map(hashKey).toList
+    // insert into the newest blob if it is a cuckoo
+    if (out.nonEmpty && java.nio.ByteBuffer.wrap(out.last).getInt() == 0x43554b31) {
+      val c = Cuckoo.deserialize(out.last)
+      val leftover = scala.collection.mutable.ListBuffer.empty[Long]
+      var overflowed = false
+      for (h <- remaining) {
+        if (overflowed) leftover += h
+        else if (!c.insertHash(h)) { overflowed = true; leftover += h }
+      }
+      out(out.length - 1) = c.serialize()
+      remaining = leftover.toList
+    }
+    while (remaining.nonEmpty) {
+      val lastCap = if (out.isEmpty) 0L
+        else if (java.nio.ByteBuffer.wrap(out.last).getInt() == 0x43554b31)
+          Cuckoo.deserialize(out.last).numBuckets.toLong * 4
+        else 0L
+      val c = Cuckoo.create(math.max(remaining.length.toLong, math.max(lastCap * 2, 4096L)))
+      val leftover = scala.collection.mutable.ListBuffer.empty[Long]
+      var overflowed = false
+      for (h <- remaining) {
+        if (overflowed) leftover += h
+        else if (!c.insertHash(h)) { overflowed = true; leftover += h }
+      }
+      out += c.serialize()
+      remaining = leftover.toList
+    }
+    out.toSeq
   }
 }
