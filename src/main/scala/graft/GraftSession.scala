@@ -20,7 +20,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // NOTE: spark.driver.memory cannot be set here — in local mode the
+      // JVM is already running; the heap comes from build.sbt's fork
+      // javaOptions (-Xmx) or spark-submit --driver-memory on a cluster.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.registerAll(spark)

@@ -13,9 +13,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *     → canonicalize (WHATWG normalize) → SURT key → host
   *     → in-batch dedup (groupBy surt, deterministic min)
   *     → seen-set subtraction: partitioned cuckoo/bloom shard PREFILTER
-  *       (broadcast shard map, each key probes its own shard) + exact
-  *       anti-join on survivors — approximate filters can never drop a
-  *       URL incorrectly, they only shrink the join
+  *       (candidates cogroup with their shard's filter chain executor-
+  *       side; the driver holds no filter state) + exact anti-join on
+  *       survivors — approximate filters can never drop a URL
+  *       incorrectly, they only shrink the join
   *     → robots filter (broadcast rules)
   *     → per-host politeness budget: two-phase top-K (salted local top-K
   *       then host-level top-K) so one hot host cannot skew a partition
@@ -83,30 +84,37 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
   // Seen-set shards
   // ----------------------------------------------------------------
 
-  /** Shard id from the engine's own 64-bit key hash — the same function
-    * on the build and probe sides (NOT Spark's Murmur3 `hash`, so probes
-    * can compute it without a Column context). */
-  private val shardOfUdf = {
-    val n = cfg.seenShards
-    udf((key: String) => java.lang.Math.floorMod(SeenFilter.hashKey(key), n.toLong).toInt)
-  }
-
   /** Incrementally maintained filter-shard chains: each wave inserts
     * only the NEW keys into its shard's chain — O(fresh) maintenance,
-    * not O(seen) (SeenFilter.updateShardChain appends a blob on
-    * overflow). `prevShards` may be empty (wave 0). */
+    * not O(seen) (SeenFilter.updateShardChainHashes appends a blob on
+    * overflow). Cogroup, not collect_list: a hot wave's keys STREAM
+    * through the insert loop instead of riding one giant array row
+    * through the shuffle. `prevShards` may be empty (wave 0). */
   private def updateShards(prevShards: DataFrame, newKeys: DataFrame): DataFrame = {
-    val grouped = newKeys
-      .select(col("surt_key"), shardOfUdf(col("surt_key")).as("shard"))
-      .groupBy("shard").agg(collect_list("surt_key").as("new_keys"))
-    prevShards.join(grouped, Seq("shard"), "full_outer")
-      .select(col("shard"), col("filters"), col("new_keys"))
-      .as[(Int, Seq[Array[Byte]], Seq[String])]
-      .map { case (shard, filters, newKeys) =>
-        (shard, SeenFilter.updateShardChain(
-          Option(filters).getOrElse(Seq.empty),
-          Option(newKeys).getOrElse(Seq.empty)))
-      }.toDF("shard", "filters")
+    val n = cfg.seenShards
+    val keysByShard = newKeys.select(col("surt_key")).as[String]
+      .groupByKey(k => java.lang.Math.floorMod(SeenFilter.hashKey(k), n.toLong).toInt)
+    val prevByShard = prevShards.as[(Int, Seq[Array[Byte]])].groupByKey(_._1)
+    keysByShard.cogroup(prevByShard) { (shard, ks, ps) =>
+      val prev = ps.flatMap(_._2).toSeq
+      Iterator.single(
+        (shard, SeenFilter.updateShardChainHashes(prev, ks.map(SeenFilter.hashKey))))
+    }.toDF("shard", "filters")
+  }
+
+  /** Union of per-wave seen DELTAS for waves 0..wave. Seen state is
+    * stored as deltas — each wave persists ONLY its fresh keys — so
+    * per-wave seen maintenance writes O(fresh), not O(total seen) (at
+    * 10^10 URLs a full rewrite would move ~1 TB of key strings every
+    * wave). The explicit schema skips footer sampling, so an
+    * uncommitted (crashed) later wave's partial files are never
+    * touched: partition pruning on `wave` drops them at planning. */
+  private def seenUpTo(wave: Int): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    spark.read.schema(StructType(Seq(StructField("surt_key", StringType))))
+      .parquet(dir("seen"))
+      .where(col("wave") <= wave)
+      .select("surt_key")
   }
 
   private def emptyShards(): DataFrame = {
@@ -116,19 +124,40 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
         StructField("filters", ArrayType(BinaryType)))))
   }
 
-  /** Split candidates into definitely-new vs maybe-seen using the
-    * broadcast shard-chain map, then exact-anti-join only the maybe
-    * side (approximate filters can never drop a URL — they only shrink
-    * the exact join's probe side). */
+  /** Split candidates into definitely-new vs maybe-seen, then
+    * exact-anti-join only the maybe side (approximate filters can never
+    * drop a URL — they only shrink the exact join's probe side).
+    *
+    * EXECUTOR-SIDE probe: candidates and filter shards cogroup on shard
+    * id, so each task parses only its own shard's chain and streams its
+    * candidates through it. The driver holds NO filter state and the
+    * full filter set is never broadcast — per-task memory is
+    * O(seen/shards) at ANY seen-set size (at 10^10 URLs / 4096 shards
+    * that is ~6 MB of cuckoo tables per task, vs a ~25 GB driver
+    * collect+broadcast per wave in the naive design). */
   private def subtractSeen(cands: DataFrame, seen: DataFrame, shards: DataFrame): DataFrame = {
-    val shardMap: Map[Int, Seq[Array[Byte]]] =
-      shards.as[(Int, Seq[Array[Byte]])].collect().toMap
-    if (shardMap.isEmpty) return cands
-    // ShardProbe parses blobs once per executor (transient lazy), so the
-    // per-row probe is just a hash + table lookup
-    val b = spark.sparkContext.broadcast(new SeenFilter.ShardProbe(shardMap, cfg.seenShards))
-    val mightBeSeen = udf((key: String) => b.value.mightContain(key))
-    val flagged = cands.withColumn("maybe_seen", mightBeSeen(col("surt_key")))
+    val n = cfg.seenShards
+    val candT = cands
+      .select(col("surt_key"), col("canonical_url"), col("host"),
+        col("priority").cast("int"))
+      .as[(String, String, String, Int)]
+    val candByShard = candT.groupByKey(c =>
+      java.lang.Math.floorMod(SeenFilter.hashKey(c._1), n.toLong).toInt)
+    val shardByShard = shards.as[(Int, Seq[Array[Byte]])].groupByKey(_._1)
+    val flagged = candByShard.cogroup(shardByShard) { (_, cs, ss) =>
+      val probes = ss.flatMap(_._2).map(SeenFilter.parse).toArray
+      if (probes.isEmpty) cs.map(c => (c._1, c._2, c._3, c._4, false))
+      else cs.map { c =>
+        val h = SeenFilter.hashKey(c._1)
+        var maybe = false
+        var i = 0
+        while (!maybe && i < probes.length) {
+          maybe = probes(i).mightContainHash(h); i += 1
+        }
+        (c._1, c._2, c._3, c._4, maybe)
+      }
+    }.toDF("surt_key", "canonical_url", "host", "priority", "maybe_seen")
+    // the cogroup exchange is planned once and reused across both branches
     val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
     val maybe = flagged.filter(col("maybe_seen")).drop("maybe_seen")
     val verified = maybe.join(seen.select("surt_key"), Seq("surt_key"), "left_anti")
@@ -272,7 +301,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     }
 
     val pending = spark.read.parquet(dir("frontier", s"wave=$prev"))
-    val seen = spark.read.parquet(dir("seen", s"wave=$prev"))
+    val seen = seenUpTo(prev)
     val shards = spark.read.parquet(dir("shards", s"wave=$prev"))
 
     // 1. schedule from pending under politeness budget
@@ -324,10 +353,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     newPending.write.mode("overwrite").parquet(dir("frontier", s"wave=$wave"))
     phase("newPending write")
 
-    val newSeen = seen.select("surt_key")
-      .unionByName(fresh.select("surt_key"))
-    newSeen.write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
-    phase("newSeen write")
+    // seen DELTA: persist only this wave's fresh keys (O(fresh) write);
+    // readers union committed deltas via partition pruning (seenUpTo)
+    fresh.select("surt_key").write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
+    phase("seen delta write")
 
     // incremental shard maintenance: insert only this wave's fresh keys
     updateShards(shards, fresh.select("surt_key"))
@@ -338,7 +367,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     // counts from the written parquet (metadata-only, no recompute);
     // state-size reports are observability, skipped in bench mode
     val nScheduled = spark.read.parquet(dir("scheduled", s"wave=$wave")).count()
-    val nSeen = if (fast) -1L else spark.read.parquet(dir("seen", s"wave=$wave")).count()
+    val nSeen = if (fast) -1L else seenUpTo(wave).count()
     val nPending = if (fast) -1L else spark.read.parquet(dir("frontier", s"wave=$wave")).count()
     val res = WaveResult(wave, nFresh, nFresh, nFresh, nScheduled,
       nScheduled, nSeen, nPending, (System.nanoTime() - t0) / 1e9)
@@ -347,7 +376,8 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
   }
 
   def scheduledDf(wave: Int): DataFrame = spark.read.parquet(dir("scheduled", s"wave=$wave"))
-  def seenDf(wave: Int): DataFrame = spark.read.parquet(dir("seen", s"wave=$wave"))
+  /** Full seen membership as of `wave` (union of committed deltas). */
+  def seenDf(wave: Int): DataFrame = seenUpTo(wave)
   def metricsDf(wave: Int): DataFrame = spark.read.parquet(dir("metrics", s"wave=$wave"))
 }
 

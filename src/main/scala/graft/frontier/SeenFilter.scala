@@ -5,10 +5,11 @@ package graft.frontier
   * Primary: a cuckoo filter (2-choice, 4-slot buckets, 16-bit
   * fingerprints → ~0.01% FP at 95% load, supports deletion). Fallback: a
   * blocked Bloom filter. Both serialize to byte arrays so the seen-set
-  * ships as PARTITIONED SHARDS: executors build one filter per hash
-  * shard, the driver broadcasts the shard map, and candidate URLs probe
-  * only their own shard (north rule: "partitioned cuckoo-filter URL-seen
-  * set, bloom fallback per executor").
+  * ships as PARTITIONED SHARDS: executors build one filter chain per hash
+  * shard, candidates shuffle to their shard's partition, and the probe
+  * happens executor-side in a cogroup — the driver never holds any filter
+  * state (north rule: "partitioned cuckoo-filter URL-seen set, bloom
+  * fallback per executor").
   *
   * Filters are a PREFILTER only — survivors still pass an exact
   * anti-join, so false positives cannot drop URLs incorrectly; the
@@ -53,20 +54,29 @@ object SeenFilter {
       val b1 = bucket1(h)
       val b2 = altBucket(b1, f)
       if (tryPut(b1, f) || tryPut(b2, f)) return true
-      // cuckoo eviction
+      // cuckoo eviction — the displacement chain is recorded so a FAILED
+      // insert can be rolled back exactly. Without rollback the final
+      // homeless fingerprint (a PREVIOUSLY INSERTED key's) would be
+      // silently dropped → a false negative → a seen URL re-scheduled.
       var b = if ((mix64(h) & 1) == 0) b1 else b2
       var cur = f
       var kicks = 0
       val rnd = new java.util.Random(h)
+      val pathSlots = new Array[Int](500)
+      val pathVals = new Array[Short](500)
       while (kicks < 500) {
         val slot = b * 4 + rnd.nextInt(4)
+        pathSlots(kicks) = slot
+        pathVals(kicks) = table(slot)
         val evicted = table(slot)
         table(slot) = cur
         cur = evicted
         b = altBucket(b, cur)
-        if (tryPut(b, cur)) return true
         kicks += 1
+        if (tryPut(b, cur)) return true
       }
+      var i = kicks - 1
+      while (i >= 0) { table(pathSlots(i)) = pathVals(i); i -= 1 }
       false // full — caller should grow or fall back to bloom
     }
 
@@ -190,21 +200,6 @@ object SeenFilter {
       new Probe { def mightContainHash(h: Long): Boolean = b.mightContainHash(h) }
     }
 
-  /** Broadcast-friendly shard-map probe: ships the raw blobs, parses
-    * them ONCE per executor (transient lazy), probes per key. */
-  final class ShardProbe(blobs: Map[Int, Seq[Array[Byte]]], nShards: Int) extends Serializable {
-    @transient private lazy val parsed: Map[Int, Seq[Probe]] =
-      blobs.map { case (k, chain) => k -> chain.map(parse) }
-    def isEmpty: Boolean = blobs.isEmpty
-    def mightContain(key: String): Boolean = {
-      val h = hashKey(key)
-      parsed.get(java.lang.Math.floorMod(h, nShards.toLong).toInt) match {
-        case Some(chain) => chain.exists(_.mightContainHash(h))
-        case None        => false
-      }
-    }
-  }
-
   /** Polymorphic probe over a serialized shard (cuckoo or bloom) —
     * convenience for tests; use ShardProbe/parse in hot paths. */
   def mightContain(shardBytes: Array[Byte], key: String): Boolean =
@@ -241,38 +236,39 @@ object SeenFilter {
     blobs.exists(b => parse(b).mightContainHash(h))
   }
 
-  /** Insert `keys` into the chain, appending a new blob on overflow. */
-  def updateShardChain(blobs: Seq[Array[Byte]], keys: Seq[String]): Seq[Array[Byte]] = {
-    if (keys.isEmpty) return blobs
+  /** Insert a STREAM of key hashes into the chain, appending a fresh
+    * geometrically-grown blob on overflow. Streaming matters: the caller
+    * (shard maintenance cogroup) never materializes a wave's keys — a hot
+    * wave's millions of new keys flow through O(1) memory beyond the
+    * filter tables themselves. */
+  def updateShardChainHashes(blobs: Seq[Array[Byte]], hashes: Iterator[Long]): Seq[Array[Byte]] = {
+    if (!hashes.hasNext) return blobs
     val out = blobs.toBuffer
-    var remaining: List[Long] = keys.map(hashKey).toList
-    // insert into the newest blob if it is a cuckoo
+    // resume inserting into the newest blob if it is a cuckoo
+    var cur: Cuckoo = null
     if (out.nonEmpty && java.nio.ByteBuffer.wrap(out.last).getInt() == 0x43554b31) {
-      val c = Cuckoo.deserialize(out.last)
-      val leftover = scala.collection.mutable.ListBuffer.empty[Long]
-      var overflowed = false
-      for (h <- remaining) {
-        if (overflowed) leftover += h
-        else if (!c.insertHash(h)) { overflowed = true; leftover += h }
-      }
-      out(out.length - 1) = c.serialize()
-      remaining = leftover.toList
+      cur = Cuckoo.deserialize(out.remove(out.length - 1))
     }
-    while (remaining.nonEmpty) {
-      val lastCap = if (out.isEmpty) 0L
-        else if (java.nio.ByteBuffer.wrap(out.last).getInt() == 0x43554b31)
-          Cuckoo.deserialize(out.last).numBuckets.toLong * 4
-        else 0L
-      val c = Cuckoo.create(math.max(remaining.length.toLong, math.max(lastCap * 2, 4096L)))
-      val leftover = scala.collection.mutable.ListBuffer.empty[Long]
-      var overflowed = false
-      for (h <- remaining) {
-        if (overflowed) leftover += h
-        else if (!c.insertHash(h)) { overflowed = true; leftover += h }
+    var lastCap: Long = if (cur != null) cur.numBuckets.toLong * 4 else 0L
+    while (hashes.hasNext) {
+      val h = hashes.next()
+      if (cur == null) {
+        cur = Cuckoo.create(math.max(lastCap * 2, 4096L))
+        lastCap = cur.numBuckets.toLong * 4
       }
-      out += c.serialize()
-      remaining = leftover.toList
+      if (!cur.insertHash(h)) {
+        // insertHash rolled the table back; seal it and start a bigger one
+        out += cur.serialize()
+        cur = Cuckoo.create(math.max(lastCap * 2, 4096L))
+        lastCap = cur.numBuckets.toLong * 4
+        require(cur.insertHash(h), "insert into a fresh cuckoo cannot fail")
+      }
     }
+    out += cur.serialize()
     out.toSeq
   }
+
+  /** Insert `keys` into the chain, appending a new blob on overflow. */
+  def updateShardChain(blobs: Seq[Array[Byte]], keys: Seq[String]): Seq[Array[Byte]] =
+    updateShardChainHashes(blobs, keys.iterator.map(hashKey))
 }

@@ -26,6 +26,38 @@ class SeenFilterSpec extends AnyFunSuite {
     assert(fp < 200, s"bloom FP rate too high: $fp/10000")
   }
 
+  test("cuckoo insert failure rolls back: no previously-inserted key lost") {
+    val c = SeenFilter.Cuckoo.create(16) // tiny, forced to overflow
+    val inserted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    var sawFailure = false
+    while (i < 100000 && !sawFailure) {
+      val h = SeenFilter.hashKey(s"rollback$i")
+      if (c.insertHash(h)) inserted += h else sawFailure = true
+      i += 1
+    }
+    assert(sawFailure, "tiny cuckoo should eventually reject an insert")
+    // a failed insert must leave the table untouched — a dropped victim
+    // fingerprint would be a false negative (seen URL re-scheduled)
+    inserted.foreach(h => assert(c.mightContainHash(h), "rollback lost a key"))
+    (0 until 1000).foreach(j => c.insertHash(SeenFilter.hashKey(s"extra$j")))
+    inserted.foreach(h => assert(c.mightContainHash(h), "later failure lost a key"))
+  }
+
+  test("updateShardChainHashes: streaming inserts, chain grows, no false negatives") {
+    var chain: Seq[Array[Byte]] = Seq.empty
+    val all = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (w <- 0 until 5) {
+      val keys = (0 until 3000).map(i => s"w$w-k$i")
+      all ++= keys
+      chain = SeenFilter.updateShardChainHashes(chain, keys.iterator.map(SeenFilter.hashKey))
+    }
+    all.foreach(k => assert(SeenFilter.mightContainChain(chain, k), s"chain lost $k"))
+    assert(chain.length >= 2, "chain should have appended blobs on overflow")
+    val fp = (0 until 10000).count(i => SeenFilter.mightContainChain(chain, s"absent$i"))
+    assert(fp < 100, s"chain FP rate too high: $fp/10000")
+  }
+
   test("buildShard: cuckoo primary, bloom fallback on overflow") {
     val shard = SeenFilter.buildShard(Iterator("a", "b", "c"), 3)
     assert(java.nio.ByteBuffer.wrap(shard).getInt() == 0x43554b31)
