@@ -36,7 +36,7 @@ object CdxPipeline {
                  fields: Seq[String] = CdxIndexing.DEFAULT_FIELDS): Dataset[String] = {
     import spark.implicits._
     WarcScan.scanFold(spark, paths) { (_, records) =>
-      records.iterator.map(r => CdxIndexing.serializeJson(CdxIndexing.indexRow(r, fields)))
+      records.map(r => CdxIndexing.serializeJson(CdxIndexing.indexRow(r, fields)))
     }
   }
 
@@ -54,8 +54,8 @@ object CdxPipeline {
     }
     WarcScan.scanFold(spark, paths) { (_, records) =>
       val rows =
-        if (all) records.iterator.map(r => CdxIndexing.cdxRowAll(r, fields, noSurt))
-        else CdxIndexing.pairRecords(records.iterator)
+        if (all) records.map(r => CdxIndexing.cdxRowAll(r, fields, noSurt))
+        else CdxIndexing.pairRecords(records)
           .flatMap(p => CdxIndexing.cdxRow(p, fields, noSurt))
       rows.map(ser)
     }
@@ -65,7 +65,7 @@ object CdxPipeline {
   def cdxDataset(spark: SparkSession, paths: Seq[String]): Dataset[CdxRow] = {
     import spark.implicits._
     WarcScan.scanFold(spark, paths) { (_, records) =>
-      CdxIndexing.pairRecords(records.iterator).flatMap(toCdxRow)
+      CdxIndexing.pairRecords(records).flatMap(toCdxRow)
     }
   }
 

@@ -65,60 +65,88 @@ object WarcRow {
 
 /** The WARC scan (S1-S4): splittable parallel read of .warc / .warc.gz.
   *
-  * v1 strategy: `binaryFile` source → one task per file → in-task framing
-  * (gzip member splitting + tolerant record framing). WARC files are
-  * bounded (typically ≤1 GiB by convention), so file-granular tasks give
-  * a clean parallel unit at any corpus size; a 100 TB crawl is ~100k
-  * files → ~100k tasks, ideal for a 1000-executor cluster. Offsets and
+  * v1 strategy: `binaryFile` source lists/distributes the files (path
+  * column only — content is pruned away and never read by Spark), one
+  * task per file, and the task STREAMS the file through
+  * `WarcStreaming.parseStream` — O(one record) of task memory, no 2 GB
+  * file cap, payload bytes skipped (not copied) when `withPayload`
+  * is false. WARC files are bounded (typically ≤1 GiB by convention),
+  * so file-granular tasks give a clean parallel unit at any corpus
+  * size; a 100 TB crawl is ~100k files → ~100k tasks, ideal for a
+  * 1000-executor cluster. Oversized files additionally split by gzip
+  * member ranges in the DSv2 source (`format("warc")`). Offsets and
   * record lengths match warcio's accounting exactly (member-based for
   * .gz), verified by fixture goldens.
   *
-  * Because each task holds a whole file in order, order-dependent
+  * Because each task sees a whole file in order, order-dependent
   * operators (request/response pairing) run fused inside the scan with
   * ZERO shuffle — see CdxPipeline.
   */
 object WarcScan {
 
+  /** Open a file path (file:/hdfs:/s3a:… URI or local path) as a stream
+    * via the Hadoop FileSystem API — works on any cluster filesystem. */
+  def openPath(path: String): java.io.InputStream = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  }
+
+  /** Streaming per-file record iterator with the scan's leniency rule:
+    * at corpus scale one corrupt file must not fail the job — log and
+    * truncate that file's iteration (strict mode propagates). */
+  private def fileRecords(path: String, withPayload: Boolean,
+                          lenient: Boolean): (String, Iterator[FramedRecord]) = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    val inner =
+      try WarcStreaming.parseStream(openPath(path), name,
+        WarcFraming.isGzipName(name), keepPayload = withPayload)
+      catch {
+        case e: Exception if lenient =>
+          System.err.println(s"[warc-scan] skipping corrupt file $name: ${e.getMessage}")
+          Iterator.empty
+      }
+    val it = if (!lenient) inner else new Iterator[FramedRecord] {
+      private var broken = false
+      def hasNext: Boolean = !broken && {
+        try inner.hasNext catch {
+          case e: Exception =>
+            System.err.println(s"[warc-scan] truncating corrupt file $name: ${e.getMessage}")
+            broken = true
+            false
+        }
+      }
+      def next(): FramedRecord = inner.next()
+    }
+    (name, it)
+  }
+
   /** Read WARC files into a typed Dataset. Column pruning note: when the
     * downstream plan does not need `payload`, pass
-    * `withPayload = false` so the scan drops payload bytes at the source
-    * (the reference's skipFully-vs-readFully distinction). */
+    * `withPayload = false` so the scan SKIPS payload bytes inside the
+    * parser (the reference's skipFully-vs-readFully distinction,
+    * indexer.ts:74) — they are never inflated into the task. */
   def warcRecords(spark: SparkSession, paths: Seq[String], withPayload: Boolean = true,
                   lenient: Boolean = true): Dataset[WarcRow] = {
     import spark.implicits._
-    val bin = spark.read.format("binaryFile").load(paths: _*)
-      .select("path", "content")
-    bin.as[(String, Array[Byte])].flatMap { case (path, content) =>
-      val name = path.substring(path.lastIndexOf('/') + 1)
-      // lenient: at corpus scale one corrupt file must not fail the job —
-      // log and skip (the strict mode surfaces the exception for tests)
-      val parsed =
-        try WarcFraming.parseFile(content, name, WarcFraming.isGzipName(name))
-        catch {
-          case e: Exception if lenient =>
-            System.err.println(s"[warc-scan] skipping corrupt file $name: ${e.getMessage}")
-            Vector.empty[FramedRecord]
-        }
-      parsed.map { fr =>
-        val row = WarcRow.fromFramed(fr)
-        if (withPayload) row else row.copy(payload = Array.emptyByteArray)
-      }
-    }
+    val bin = spark.read.format("binaryFile").load(paths: _*).select("path").as[String]
+    bin.mapPartitions(_.flatMap { path =>
+      fileRecords(path, withPayload, lenient)._2.map(WarcRow.fromFramed)
+    })
   }
 
   /** Fused scan + per-file fold: applies `fold` to each file's records in
     * offset order inside the scan task — the zero-shuffle path for
-    * order-dependent per-file operators. */
+    * order-dependent per-file operators. The iterator is streaming: the
+    * fold must consume in order and may hold O(1) records. */
   def scanFold[T: org.apache.spark.sql.Encoder](
       spark: SparkSession,
       paths: Seq[String]
-  )(fold: (String, Vector[FramedRecord]) => Iterator[T]): Dataset[T] = {
+  )(fold: (String, Iterator[FramedRecord]) => Iterator[T]): Dataset[T] = {
     import spark.implicits._
-    val bin = spark.read.format("binaryFile").load(paths: _*)
-      .select("path", "content")
-    bin.as[(String, Array[Byte])].flatMap { case (path, content) =>
-      val name = path.substring(path.lastIndexOf('/') + 1)
-      fold(name, WarcFraming.parseFile(content, name, WarcFraming.isGzipName(name)))
-    }
+    val bin = spark.read.format("binaryFile").load(paths: _*).select("path").as[String]
+    bin.mapPartitions(_.flatMap { path =>
+      val (name, records) = fileRecords(path, withPayload = true, lenient = false)
+      fold(name, records)
+    })
   }
 }

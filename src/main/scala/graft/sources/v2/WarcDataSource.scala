@@ -17,11 +17,17 @@ import scala.jdk.CollectionConverters._
   *
   * The genuinely custom physical component (SURVEY.md §4): a splittable
   * scan over .warc/.warc.gz with
-  *  - one input partition per file (WARC files are the bounded parallel
-  *    unit; gzip member boundaries keep offsets/lengths byte-exact);
+  *  - one input partition per file, and for .gz files larger than
+  *    `splitSize` (option, default 128 MiB) MULTIPLE raw-byte-range
+  *    partitions per file — the reader syncs to a gzip-member boundary,
+  *    so one megafile fans out instead of pinning one task; offsets and
+  *    lengths stay byte-exact (member-based);
+  *  - STREAMING record-at-a-time parse (WarcStreaming): O(one record)
+  *    task memory, no 2 GB file cap;
   *  - `SupportsPushDownRequiredColumns`: when `payload` isn't selected
-  *    the reader never materializes payload bytes (the reference's
-  *    skipFully-vs-readFully distinction, indexer.ts:74 vs :232);
+  *    payload bytes are SKIPPED inside the parser, never inflated into
+  *    the task (the reference's skipFully-vs-readFully distinction,
+  *    indexer.ts:74 vs :232);
   *  - `SupportsPushDownFilters`: warcType equality/IN filters drop
   *    records before row materialization.
   */
@@ -82,11 +88,14 @@ class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
   override def schema(): StructType = WarcSchema.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val splitSize = Option(options.get("splitSize")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    new WarcScanBuilder(paths, splitSize)
+  }
 }
 
-class WarcScanBuilder(paths: Seq[String]) extends ScanBuilder
+class WarcScanBuilder(paths: Seq[String], splitSize: Long) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = WarcSchema.schema
   private var typeFilter: Option[Set[String]] = None
@@ -113,45 +122,96 @@ class WarcScanBuilder(paths: Seq[String]) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScanV2(paths, required, typeFilter)
+  override def build(): Scan = new WarcScanV2(paths, required, typeFilter, splitSize)
 }
 
-case class WarcInputPartition(path: String) extends InputPartition
+/** One task = one file, or one RAW BYTE RANGE of an oversized .warc.gz
+  * (`start`/`end`; `end = -1` ⇒ whole file). A range task syncs to the
+  * first gzip-member boundary at/after `start` and owns every record
+  * whose member starts before `end` — so a single 100 GB megafile fans
+  * out across the cluster instead of pinning one task (SURVEY §2.1/S3:
+  * member boundaries are the key to parallel scan). */
+case class WarcInputPartition(path: String, start: Long, end: Long) extends InputPartition
 
 class WarcScanV2(paths: Seq[String], required: StructType,
-                 typeFilter: Option[Set[String]]) extends Scan with Batch {
+                 typeFilter: Option[Set[String]], splitSize: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.map(WarcInputPartition.apply).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    paths.flatMap { p =>
+      val size =
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .getFileStatus(hp).getLen
+        } catch { case _: Exception => 0L }
+      // only .gz is boundary-splittable (member sync); small files and
+      // plain .warc stay one-task-per-file
+      if (size > splitSize && p.endsWith(".gz")) {
+        val n = ((size + splitSize - 1) / splitSize).toInt
+        (0 until n).map { i =>
+          WarcInputPartition(p, i.toLong * splitSize,
+            math.min((i + 1).toLong * splitSize, size))
+        }
+      } else Seq(WarcInputPartition(p, 0L, -1L))
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required, typeFilter)
   override def description(): String =
     s"WarcScan(files=${paths.length}, columns=${required.fieldNames.mkString(",")}, " +
-      s"typeFilter=${typeFilter.map(_.mkString("|")).getOrElse("none")})"
+      s"typeFilter=${typeFilter.map(_.mkString("|")).getOrElse("none")}, splitSize=$splitSize)"
 }
 
 class WarcReaderFactory(required: StructType, typeFilter: Option[Set[String]])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[WarcInputPartition].path
-    new WarcPartitionReader(path, required, typeFilter)
+    val p = partition.asInstanceOf[WarcInputPartition]
+    new WarcPartitionReader(p, required, typeFilter)
   }
 }
 
-class WarcPartitionReader(path: String, required: StructType,
+class WarcPartitionReader(part: WarcInputPartition, required: StructType,
                           typeFilter: Option[Set[String]])
     extends PartitionReader[InternalRow] {
   import graft.core._
 
   private val needPayload = required.fieldNames.contains("payload")
+  private val path = part.path
   private val name = path.substring(path.lastIndexOf('/') + 1)
+
+  private def openAt(off: Long): java.io.InputStream = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(hp)
+    if (off > 0) in.seek(off)
+    in
+  }
+
+  /** STREAMING read — O(one record) of task memory, payload skipped
+    * inside the parser when pruned (never inflated into the task). For a
+    * range partition, sync to the first valid member ≥ start and own
+    * records whose member starts before `end` (the last such record may
+    * read past `end`; records are emitted in offset order so the
+    * takeWhile cut is exact). */
+  private var stream: java.io.InputStream = _
   private lazy val records: Iterator[FramedRecord] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-      path.stripPrefix("file:")))
-    WarcFraming.parseFile(bytes, name, WarcFraming.isGzipName(name))
-      .iterator
-      .filter(r => typeFilter.forall(_.contains(Option(r.warcType).getOrElse(""))))
+    val base: Iterator[FramedRecord] =
+      if (part.end < 0) {
+        stream = openAt(0)
+        WarcStreaming.parseStream(stream, name,
+          WarcFraming.isGzipName(name), keepPayload = needPayload)
+      } else {
+        val sync = WarcStreaming.syncToMemberStart(openAt, part.start, part.end)
+        if (sync < 0) Iterator.empty
+        else {
+          stream = openAt(sync)
+          WarcStreaming.parseStream(stream, name, isGzip = true,
+            keepPayload = needPayload, rawBase = sync)
+            .takeWhile(_.offset < part.end)
+        }
+      }
+    base.filter(r => typeFilter.forall(_.contains(Option(r.warcType).getOrElse(""))))
   }
   private var current: FramedRecord = _
 
@@ -195,5 +255,6 @@ class WarcPartitionReader(path: String, required: StructType,
     new GenericInternalRow(required.fieldNames.map(field))
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (stream != null) { try stream.close() catch { case _: Exception => } }
 }

@@ -42,6 +42,33 @@ class WarcDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(desc.contains("typeFilter=response"), s"filter not pushed:\n$desc")
   }
 
+  test("range splits: oversized .warc.gz scanned by many tasks, byte-exact offsets") {
+    import graft.core.WarcWriter
+    val dir = java.nio.file.Files.createTempDirectory("warcsplit")
+    val bytes = (0 until 120).map { i =>
+      val payload = (s"doc $i " + "z" * 800).getBytes("UTF-8")
+      val r = WarcWriter.create(url = s"https://ex.org/p/$i", date = "2020-01-01T00:00:00Z",
+        warcType = "resource", payload = payload,
+        recordId = f"00000000-0000-0000-0000-$i%012d")
+      WarcWriter.serialize(r, WarcWriter.CdxDigest, gzip = true)
+    }.reduce(_ ++ _)
+    val f = dir.resolve("big.warc.gz")
+    java.nio.file.Files.write(f, bytes)
+
+    val whole = spark.read.format("warc").load(f.toString)
+      .select("offset", "length", "recordId").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val split = spark.read.format("warc").option("splitSize", "4096")
+      .load(f.toString)
+    assert(split.rdd.getNumPartitions > 1,
+      s"expected >1 partitions for a ${bytes.length}-byte file at splitSize=4096")
+    val splitRows = split.select("offset", "length", "recordId").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(splitRows.length == 120, "split scan duplicated or dropped records")
+    assert(splitRows.toSet == whole, "split offsets/lengths differ from whole-file scan")
+  }
+
   test("multi-file load unions per-file partitions") {
     val df = spark.read.format("warc")
       .load(fixturePath("example.warc.gz"), fixturePath("example-resource.warc.gz"))
