@@ -14,6 +14,11 @@ object SparkEntry {
   private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fixed staging dir for constructed corpora that the DuckDB oracle
+    * must see verbatim (values not SQL-computable, e.g. WARC digests):
+    * the query writes parquet here and BOTH engines read it back. */
+  val StageDir = "/tmp/graft_oracle_stage"
+
   /** Flagship: WARC corpus synthesized from the documents table →
     * serialized (write path) → parsed back (scan) → CDX-indexed, as one
     * distributed query. Exercises writer, framing, digests, pairing and
@@ -264,7 +269,7 @@ object SparkEntry {
       val copies = e.select(($"vec_id" + 1000000).as("vec_id"),
         transform($"embedding", x => x * lit(1.001f)).as("embedding"))
       Dedup.embeddingPairs(e.unionByName(copies), "vec_id", "embedding",
-        planes = 16, cosThreshold = 0.95)
+        cosThreshold = 0.95)
         .select($"id_a", $"id_b", round($"cosine", 4).as("cosine"))
         .orderBy($"id_a", $"id_b")
     }),
@@ -366,9 +371,14 @@ object SparkEntry {
           }
         }
       }.toDF("kind", "url", "payload_digest", "filename")
-      val responses = warcRows.filter($"kind" === "resp")
+        // stage the constructed corpus so the DuckDB oracle joins the
+        // SAME input (digests aren't SQL-computable); Spark reads the
+        // staged copy too — both engines consume identical bytes
+      warcRows.write.mode("overwrite").parquet(StageDir + "/q36_warc_rows.parquet")
+      val staged = sp.read.parquet(StageDir + "/q36_warc_rows.parquet")
+      val responses = staged.filter($"kind" === "resp")
         .select($"payload_digest", $"url".as("original_url"), $"filename".as("original_file"))
-      val revisits = warcRows.filter($"kind" === "rev")
+      val revisits = staged.filter($"kind" === "rev")
         .select($"payload_digest", $"url".as("revisit_url"))
       // equi-join on digest: each revisit resolves to its original
       revisits.join(responses, Seq("payload_digest"))
@@ -550,6 +560,41 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM customer
         |  WHERE c_custkey = o_custkey AND c_acctbal > 5000.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact all-pairs n-gram jaccard: the LSH candidate stage must not
+    // lose any >=threshold pair on this corpus (recall check built in)
+    "q27_ngram_jaccard" ->
+      """WITH grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        |        FROM documents)
+        |  WHERE len(words) >= 3)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+        |  round(len(list_intersect(a.g, b.g)) * 1.0
+        |    / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.g, b.g)) * 1.0
+        |    / len(list_distinct(list_concat(a.g, b.g))) >= 0.3
+        |ORDER BY 1, 2""".stripMargin,
+    "q28_embed_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        | CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings ORDER BY 1""".stripMargin,
+    "q32_parse_headers" ->
+      """SELECT doc_id, 4 AS n_headers, 'a=1, b=2' AS cookies,
+        | 'd' || doc_id AS xdoc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_revisit_resolve" ->
+      """WITH w AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q36_warc_rows.parquet/*.parquet'))
+        |SELECT r.url AS revisit_url, o.url AS original_url, r.payload_digest
+        |FROM (SELECT * FROM w WHERE kind = 'rev') r
+        |JOIN (SELECT * FROM w WHERE kind = 'resp') o USING (payload_digest)
+        |ORDER BY revisit_url""".stripMargin,
+    "q37_payload_decode" ->
+      """SELECT doc_id, TRUE AS roundtrip_ok,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q34_batch_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

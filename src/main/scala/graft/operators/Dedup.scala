@@ -11,8 +11,34 @@ import org.apache.spark.sql.expressions.Window
   * joins; the only O(n²) work is inside hash buckets whose size is
   * bounded by the banding parameters. Signatures are computed in one
   * pass per row (UDF over the text, no explode of shingles across rows).
+  *
+  * Bucket caps are NOT silent: every capped operator reports dropped
+  * docs through a named LongAccumulator (visible in the Spark UI /
+  * status API) and an executor log line — on a real corpus hot buckets
+  * are boilerplate near-dup classes, and silently under-deleting there
+  * is a dedup pipeline lying about its recall.
   */
 object Dedup {
+
+  /** Named truncation accumulator: counts docs DROPPED from over-cap
+    * buckets (pairs involving them are not generated this bucket). */
+  def truncationAccumulator(df: DataFrame, name: String)
+      : org.apache.spark.util.LongAccumulator =
+    df.sparkSession.sparkContext.longAccumulator(name)
+
+  /** Cap a sorted bucket, recording + logging the overflow. */
+  private def capBucket[T](ds: Seq[T], cap: Int, what: String,
+                           acc: org.apache.spark.util.LongAccumulator): Seq[T] = {
+    if (ds.length <= cap) ds
+    else {
+      val dropped = ds.length - cap
+      acc.add(dropped.toLong)
+      System.err.println(
+        s"[dedup] $what bucket over cap: ${ds.length} docs, cap $cap — " +
+          s"$dropped docs dropped from pair generation (accumulator '${acc.name.getOrElse("")}')")
+      ds.take(cap)
+    }
+  }
 
   // ---------------------------------------------------------------
   // Exact dedup: hash-groupBy, map-side partial agg, one shuffle.
@@ -69,13 +95,15 @@ object Dedup {
     * band_hash) keys → groupBy band key (the ONLY shuffle) → in-bucket
     * pairs → dedup pairs → verify estimated jaccard from full
     * signatures. Bucket sizes are capped to keep worst-case quadratic
-    * work bounded (hot buckets = near-identical boilerplate; the cap is
-    * logged, not silent). */
+    * work bounded (hot buckets = near-identical boilerplate); overflow
+    * is counted in `truncAcc` and logged, never silent. */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.7, maxBucket: Int = 1000
+      threshold: Double = 0.7, maxBucket: Int = 1000,
+      truncAcc: Option[org.apache.spark.util.LongAccumulator] = None
   ): DataFrame = {
+    val acc = truncAcc.getOrElse(truncationAccumulator(df, "graft.dedup.minhash.truncated_docs"))
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = bands
     val rowsPerBand = numHashes / bands
@@ -99,7 +127,7 @@ object Dedup {
       .filter(size(col("docs")) > 1)
 
     val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
-      val ds = docs.sortBy(_.getLong(0)).take(maxBucket)
+      val ds = capBucket(docs.sortBy(_.getLong(0)), maxBucket, "minhash", acc)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       var i = 0
       while (i < ds.length) {
@@ -156,9 +184,12 @@ object Dedup {
     * pigeonhole banding trick: split 64 bits into maxDist+1 chunks; any
     * pair within distance must agree exactly on ≥1 chunk → candidates
     * are chunk-equality groups (shuffle on small chunk keys only). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+                   maxBucket: Int = 1000,
+                   truncAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val acc = truncAcc.getOrElse(truncationAccumulator(df, "graft.dedup.simhash.truncated_docs"))
     val shUdf = udf((t: String) => simhash64(t))
     val chunks = maxDist + 1
     val bits = 64 / chunks
@@ -173,7 +204,7 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sh"))).as("docs"))
       .filter(size(col("docs")) > 1)
     val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
-      val ds = docs.sortBy(_.getLong(0)).take(1000)
+      val ds = capBucket(docs.sortBy(_.getLong(0)), maxBucket, "simhash", acc)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
       var i = 0
       while (i < ds.length) {
@@ -245,38 +276,59 @@ object Dedup {
   // Embedding cosine near-dup (LSH bucketed, see Similarity for ANN)
   // ---------------------------------------------------------------
 
-  /** Near-duplicate embedding pairs above `cosThreshold`, bucketed by
-    * random-hyperplane LSH signatures (one shuffle on bucket key). */
+  /** Near-duplicate embedding pairs above `cosThreshold` via BANDED
+    * random-hyperplane LSH: `bands` independent tables of `planesPerBand`
+    * hyperplanes each; a pair is a candidate if ALL bits of ANY band
+    * agree, then exact cosine verifies (so false candidates cost work,
+    * never wrong output).
+    *
+    * Recall math (why banding): P(one bit agrees) = 1 − θ/π. A single
+    * 16-plane table at cos 0.95 (θ≈0.318 rad) has recall (1−θ/π)^16 ≈
+    * 0.19 — four of five true pairs missed. With r=8, b=6 (defaults):
+    * band match p^8 ≈ 0.43, recall 1−(1−p^8)^6 ≈ 0.96. Shuffle cost is
+    * `bands` small (band, sig) keys per row — signatures, not vectors,
+    * drive the fan-out. */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 16, cosThreshold: Double = 0.95, seed: Long = 42L
+      bands: Int = 6, planesPerBand: Int = 8,
+      cosThreshold: Double = 0.95, seed: Long = 42L, maxBucket: Int = 2000,
+      truncAcc: Option[org.apache.spark.util.LongAccumulator] = None
   ): DataFrame = {
+    require(bands * planesPerBand <= 64, "bands*planesPerBand must fit 64 bits")
     val spark = df.sparkSession
     import spark.implicits._
+    val acc = truncAcc.getOrElse(truncationAccumulator(df, "graft.dedup.embedding.truncated_docs"))
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val rnd = new scala.util.Random(seed)
-    val hyper = Array.fill(planes, dim)(rnd.nextGaussian().toFloat)
+    val hyper = Array.fill(bands * planesPerBand, dim)(rnd.nextGaussian().toFloat)
     val bHyper = spark.sparkContext.broadcast(hyper)
+    // one pass per row: per-band signatures (planesPerBand bits each)
     val sigUdf = udf((v: Seq[Float]) => {
       val h = bHyper.value
-      var sig = 0L
+      val arr = v.toArray
+      val sigs = new Array[Long](bands)
       var p = 0
       while (p < h.length) {
         var dot = 0.0
         var i = 0
-        while (i < v.length) { dot += v(i) * h(p)(i); i += 1 }
-        if (dot >= 0) sig |= (1L << p)
+        while (i < arr.length) { dot += arr(i) * h(p)(i); i += 1 }
+        if (dot >= 0) sigs(p / planesPerBand) |= (1L << (p % planesPerBand))
         p += 1
       }
-      sig
+      sigs
     })
     val withSig = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", sigUdf(col("v")))
-    val buckets = withSig.groupBy(col("bucket"))
+      .withColumn("sigs", sigUdf(col("v")))
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), col("sigs")(b).as("sig")))
+    val exploded = withSig
+      .withColumn("bk", explode(array(bandCols: _*)))
+      .select(col("bk.band"), col("bk.sig"), col("id"), col("v"))
+    val buckets = exploded.groupBy(col("band"), col("sig"))
       .agg(collect_list(struct(col("id"), col("v"))).as("docs"))
       .filter(size(col("docs")) > 1)
     val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
-      val ds = docs.sortBy(_.getLong(0)).take(2000)
+      val ds = capBucket(docs.sortBy(_.getLong(0)), maxBucket, "embedding", acc)
       def cos(a: Seq[Float], b: Seq[Float]): Double = {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }

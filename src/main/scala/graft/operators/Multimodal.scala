@@ -75,12 +75,16 @@ object Multimodal {
   }
 
   /** Near-duplicate images via phash hamming distance ≤ maxDist,
-    * pigeonhole-banded like SimHash (shuffle on 16-bit chunk keys). */
-  def imageNearDups(images: DataFrame, maxDist: Int = 6): DataFrame = {
+    * pigeonhole-banded like SimHash (shuffle on 16-bit chunk keys).
+    * Over-cap buckets report dropped docs via accumulator + log. */
+  def imageNearDups(images: DataFrame, maxDist: Int = 6, maxBucket: Int = 1000,
+                    truncAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val feats = imageFeatures(images).toDF()
     val chunks = 4
     val spark = images.sparkSession
     import spark.implicits._
+    val acc = truncAcc.getOrElse(
+      spark.sparkContext.longAccumulator("graft.multimodal.phash.truncated_docs"))
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         col("phash").bitwiseAND(lit(0xffffL << (c * 16))).as("ck"))
@@ -89,7 +93,15 @@ object Multimodal {
       .withColumn("k", explode(array(chunkCols: _*)))
       .select(col("k.chunk"), col("k.ck"), col("image_id"), col("phash"))
     val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
-      val ds = docs.sortBy(_.getString(0)).take(1000)
+      val sorted = docs.sortBy(_.getString(0))
+      val ds =
+        if (sorted.length <= maxBucket) sorted
+        else {
+          acc.add((sorted.length - maxBucket).toLong)
+          System.err.println(s"[multimodal] phash bucket over cap: ${sorted.length} docs, " +
+            s"cap $maxBucket — ${sorted.length - maxBucket} dropped (accumulator)")
+          sorted.take(maxBucket)
+        }
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
       var i = 0
       while (i < ds.length) {
