@@ -225,23 +225,53 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
-    // =================== no-oracle (rows-only) ======================
+    // ======= staged-corpus oracles: the query writes its exact
+    // ======= intermediate table to StageDir; DuckDB re-derives the
+    // ======= output from that staged copy independently in SQL.
     "q21_minhash_pairs" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
-      Dedup.minhashPairs(t(dir, "documents"), "doc_id", "text", threshold = 0.3)
+      // stage the signature table; the LSH band join + in-bucket verify
+      // is re-derived in SQL over the staged copy (positional band/sig
+      // equality), so the pair-generation logic is oracle-checked
+      val sigs = Dedup.minhashSignatures(t(dir, "documents"), "doc_id", "text")
+      sigs.write.mode("overwrite").parquet(StageDir + "/q21_minhash_sigs.parquet")
+      Dedup.minhashPairsFromSignatures(
+          sp.read.parquet(StageDir + "/q21_minhash_sigs.parquet"), threshold = 0.3)
         .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"))
         .orderBy($"id_a", $"id_b")
     }),
     "q22_simhash_pairs" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       // near-dup corpus: every doc + a lightly mutated copy (one word
-      // appended) — simhash at small hamming distance must pair them
+      // appended) — simhash at small hamming distance must pair them.
+      // Pigeonhole banding has recall EXACTLY 1 at distance ≤ maxDist,
+      // so the output equals the all-pairs hamming join the oracle runs
+      // over the staged simhash table.
       val docs = t(dir, "documents").select($"doc_id", $"text")
       val mutated = docs.select(($"doc_id" + 1000000).as("doc_id"),
         concat($"text", lit(" zzextra")).as("text"))
-      Dedup.simhashPairs(docs.unionByName(mutated), "doc_id", "text", maxDist = 3)
+      val hashes = Dedup.simhashes(docs.unionByName(mutated), "doc_id", "text")
+      hashes.write.mode("overwrite").parquet(StageDir + "/q22_simhash.parquet")
+      Dedup.simhashPairsFromHashes(
+          sp.read.parquet(StageDir + "/q22_simhash.parquet"), maxDist = 3)
         .orderBy($"id_a", $"id_b")
     }),
     "q23_fingerprint" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
-      TextAnalysis.fingerprint(t(dir, "documents"), "doc_id", "text")
+      // stage the per-position k-gram rolling hashes; the oracle
+      // re-derives the winnowing selection (window min, rightmost tie,
+      // consecutive dedup) in SQL. hsort flips the sign bit so signed
+      // SQL ordering equals the kernel's unsigned comparison.
+      val docs = t(dir, "documents").select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      val kg = docs.flatMap { case (id, txt) =>
+        TextAnalysis.kgramHashes(txt, 8).iterator.zipWithIndex.map {
+          case (h, i) => (id, i, h, h ^ Long.MinValue) }
+      }.toDF("doc_id", "pos", "h", "hsort")
+      kg.write.mode("overwrite").parquet(StageDir + "/q23_kgrams.parquet")
+      val fpU = udf((txt: String) => {
+        val a = TextAnalysis.winnowingFingerprint(txt, 8, 16)
+        (a.length, if (a.isEmpty) 0L else a.min, if (a.isEmpty) 0L else a.max)
+      })
+      docs.toDF("doc_id", "text")
+        .select($"doc_id", fpU($"text").as("f"))
+        .select($"doc_id", $"f._1".as("n_fp"), $"f._2".as("fp_min"), $"f._3".as("fp_max"))
         .orderBy($"doc_id")
     }),
     "q24_langid_pred" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
@@ -249,13 +279,25 @@ object SparkEntry {
         .select($"doc_id", $"lang_pred", round($"lang_conf", 4).as("lang_conf"))
         .orderBy($"doc_id")
     }),
-    "q25_warc_cdx" -> ((s, dir) => warcRoundTripCdx(s, dir)),
+    // write→scan→pair round trip; oracle checks the SQL-derivable CDX
+    // fields survive the full pipeline (digest/offset byte goldens live
+    // in the fixture suite — sha1-base32 is not SQL-computable)
+    "q25_warc_cdx" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      warcRoundTripCdx(s, dir)
+        .select($"urlkey", $"timestamp", $"url", $"mime", $"status",
+          length($"digest").as("digest_len"), $"filename")
+        .orderBy($"urlkey", $"timestamp")
+    }),
+    // full probe (nprobe = nlist) reduces IVF to exact top-k → DuckDB
+    // oracle; the approximate nprobe<nlist recall path is covered by
+    // SimilaritySpec
     "q26_ann_ivf" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val e = t(dir, "embeddings")
       val qv = e.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
       val (indexed, centroids) = Similarity.ivfAssign(e.filter($"vec_id" =!= 0), "vec_id", "embedding", nlist = 16)
-      Similarity.ivfTopK(indexed, centroids, "vec_id", "embedding", qv, k = 10, nprobe = 4)
+      Similarity.ivfTopK(indexed, centroids, "vec_id", "embedding", qv, k = 10, nprobe = 16)
         .select($"vec_id", round($"cosine", 4).as("cosine"))
+        .orderBy($"cosine".desc, $"vec_id")
     }),
     "q27_ngram_jaccard" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       Dedup.ngramJaccardPairs(t(dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
@@ -273,34 +315,55 @@ object SparkEntry {
         .select($"id_a", $"id_b", round($"cosine", 4).as("cosine"))
         .orderBy($"id_a", $"id_b")
     }),
-    // ---- north-rule frontier: one full wave over synthetic seeds ----
+    // ---- north-rule frontier: one full wave over synthetic seeds.
+    // The wave-1 pending state (the exact input of wave 2's scheduling)
+    // is staged with the robots hash precomputed; the oracle re-derives
+    // robots filtering + the per-host politeness budget + the output
+    // ordering in SQL — so the two-phase salted top-K must equal the
+    // plain per-host window it optimizes.
     "q29_frontier_wave" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val ck = java.nio.file.Files.createTempDirectory("graft-frontier-q29").toString
       val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, hostBudget = 5, seenShards = 16)
       val f = new graft.frontier.Frontier(sp, cfg)
       val n = t(dir, "documents").count().toInt.max(100)
       f.initialize(graft.frontier.Frontier.syntheticSeeds(sp, n))
-      f.runWave(); f.runWave()
+      f.runWave()
+      val hm5 = udf((h: String) =>
+        java.lang.Math.floorMod(graft.frontier.SeenFilter.hashKey(h), 5L))
+      f.pendingDf(1)
+        .select($"surt_key", $"canonical_url", $"host", $"priority", hm5($"host").as("hm5"))
+        .write.mode("overwrite").parquet(StageDir + "/q29_pending.parquet")
+      f.runWave()
       f.scheduledDf(2)
         .select($"host", $"surt_key", $"priority", $"rank_in_host")
         .orderBy($"priority", $"host", $"surt_key")
     }),
-    // ---- multimodal: image decode + features ------------------------
+    // ---- multimodal: image decode through the real ImageIO path; the
+    // synthesized metadata (image_id, w, h) is staged and the oracle
+    // checks the decoded dimensions match it row-for-row (mean/PSNR and
+    // phash invariants live in ImageSpec — not SQL-computable)
     "q30_image_features" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val n = t(dir, "documents").count()
       val images = graft.frontier.ImageSynth.imagesTable(sp, n)
+      images.select($"image_id", $"w", $"h")
+        .write.mode("overwrite").parquet(StageDir + "/q30_image_meta.parquet")
       Multimodal.imageFeatures(images).toDF()
-        .select($"image_id", $"w", $"h",
-          round($"mean_r", 2).as("mean_r"), round($"mean_g", 2).as("mean_g"),
-          round($"mean_b", 2).as("mean_b"), $"phash", $"decode_ok")
+        .select($"image_id", $"w", $"h", $"decode_ok")
         .orderBy($"image_id")
     }),
-    // ---- multimodal: perceptual-hash near-dup over images -----------
+    // ---- multimodal: perceptual-hash near-dup over images. The phash
+    // table is staged; pigeonhole banding at maxDist 2 has recall
+    // exactly 1, so the oracle's all-pairs hamming join over the staged
+    // copy must equal the bucketed pipeline's output.
     "q31_image_neardup" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val n = t(dir, "documents").count()
       val images = sp.range(n).map(i =>
         graft.frontier.ImageSynth.makeRow(42L, i % 50).copy(image_id = f"img$i%08d")).toDF()
-      Multimodal.imageNearDups(images, maxDist = 2)
+      val ph = Multimodal.imageFeatures(images).toDF()
+        .filter($"decode_ok").select($"image_id", $"phash")
+      ph.write.mode("overwrite").parquet(StageDir + "/q31_phash.parquet")
+      Multimodal.imageNearDupsFromHashes(
+          sp.read.parquet(StageDir + "/q31_phash.parquet"), maxDist = 2)
         .orderBy($"id_a", $"id_b")
     }),
     // ---- streaming: watermarked windowed agg over events (AvailableNow)
@@ -327,7 +390,8 @@ object SparkEntry {
         .select($"qid", $"cid", round($"cosine", 4).as("cosine"), $"rank")
         .orderBy($"qid", $"rank")
     }),
-    // ---- north rule: frontier seeded FROM the images+caption table --
+    // ---- north rule: frontier seeded FROM the images+caption table.
+    // Same staged-pending oracle pattern as q29 (wave 1 from pending 0).
     "q35_frontier_from_images" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val n = t(dir, "documents").count()
       val images = graft.frontier.ImageSynth.imagesTable(sp, n)
@@ -335,6 +399,11 @@ object SparkEntry {
       val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, hostBudget = 3, seenShards = 8)
       val f = new graft.frontier.Frontier(sp, cfg)
       f.initialize(graft.frontier.Frontier.seedsFromImages(images))
+      val hm5 = udf((h: String) =>
+        java.lang.Math.floorMod(graft.frontier.SeenFilter.hashKey(h), 5L))
+      f.pendingDf(0)
+        .select($"surt_key", $"canonical_url", $"host", $"priority", hm5($"host").as("hm5"))
+        .write.mode("overwrite").parquet(StageDir + "/q35_pending.parquet")
       f.runWave()
       f.scheduledDf(1)
         .select($"host", $"surt_key", $"priority", $"rank_in_host")
@@ -595,6 +664,134 @@ object SparkEntry {
       """SELECT doc_id, TRUE AS roundtrip_ok,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // LSH band-bucket pair generation re-derived over the staged
+    // signature table: candidates = any positional band-hash equality,
+    // estimate = fraction of equal signature positions
+    "q21_minhash_pairs" ->
+      """WITH d AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q21_minhash_sigs.parquet/*.parquet')),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    len(list_filter(range(1, len(a.sig) + 1), i -> a.sig[i] = b.sig[i])) * 1.0
+        |      / len(a.sig) AS est
+        |  FROM d a JOIN d b ON a.id < b.id
+        |  WHERE len(list_filter(range(1, len(a.bh) + 1), i -> a.bh[i] = b.bh[i])) > 0)
+        |SELECT id_a, id_b, round(est, 4) AS est_jaccard
+        |FROM cand WHERE est >= 0.3 ORDER BY 1, 2""".stripMargin,
+    // pigeonhole recall is exactly 1 at hamming <= 3, so the bucketed
+    // pipeline must equal this all-pairs hamming join
+    "q22_simhash_pairs" ->
+      """WITH d AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q22_simhash.parquet/*.parquet'))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM d a JOIN d b ON a.id < b.id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+    // winnowing selection re-derived in SQL over the staged k-gram
+    // hashes: per-window unsigned min (hsort = sign-flipped hash),
+    // rightmost tie (max pos at the min), consecutive-dup removal
+    // (selected positions are monotone → DISTINCT)
+    "q23_fingerprint" ->
+      """WITH h AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q23_kgrams.parquet/*.parquet')),
+        |n AS (SELECT doc_id, count(*) AS n FROM h GROUP BY 1),
+        |w AS (SELECT doc_id, pos AS wstart,
+        |        min(hsort) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+        |      FROM h),
+        |w2 AS (SELECT w.* FROM w JOIN n USING (doc_id) WHERE w.wstart < greatest(1, n.n - 15)),
+        |sel AS (SELECT w2.doc_id, w2.wstart, max(h.pos) AS minidx
+        |        FROM w2 JOIN h ON h.doc_id = w2.doc_id
+        |          AND h.pos >= w2.wstart AND h.pos <= w2.wstart + 15
+        |          AND h.hsort = w2.wmin
+        |        GROUP BY 1, 2),
+        |picked AS (SELECT DISTINCT doc_id, minidx FROM sel),
+        |vals AS (SELECT p.doc_id, h.h FROM picked p
+        |         JOIN h ON h.doc_id = p.doc_id AND h.pos = p.minidx)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_fp,
+        |  min(h) AS fp_min, max(h) AS fp_max
+        |FROM vals GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the marker-count heuristic verbatim in SQL: non-overlapping
+    // occurrence counts via replace-and-measure, argmax with
+    // alphabetical tie-break (de < en < es < fr < zh)
+    "q24_langid_pred" ->
+      """WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+        |sc AS (SELECT doc_id,
+        |  (length(s)-length(replace(s,' the ','')))//5 + (length(s)-length(replace(s,' and ','')))//5
+        |   + (length(s)-length(replace(s,' of ','')))//4 + (length(s)-length(replace(s,' to ','')))//4
+        |   + (length(s)-length(replace(s,' is ','')))//4 + (length(s)-length(replace(s,' in ','')))//4 AS en,
+        |  (length(s)-length(replace(s,' le ','')))//4 + (length(s)-length(replace(s,' la ','')))//4
+        |   + (length(s)-length(replace(s,' et ','')))//4 + (length(s)-length(replace(s,' les ','')))//5
+        |   + (length(s)-length(replace(s,' des ','')))//5 + (length(s)-length(replace(s,' une ','')))//5 AS fr,
+        |  (length(s)-length(replace(s,' der ','')))//5 + (length(s)-length(replace(s,' die ','')))//5
+        |   + (length(s)-length(replace(s,' und ','')))//5 + (length(s)-length(replace(s,' das ','')))//5
+        |   + (length(s)-length(replace(s,' ist ','')))//5 + (length(s)-length(replace(s,' nicht ','')))//7 AS de,
+        |  (length(s)-length(replace(s,' el ','')))//4 + (length(s)-length(replace(s,' la ','')))//4
+        |   + (length(s)-length(replace(s,' los ','')))//5 + (length(s)-length(replace(s,' que ','')))//5
+        |   + (length(s)-length(replace(s,' una ','')))//5 + (length(s)-length(replace(s,' es ','')))//4 AS es,
+        |  (length(s)-length(replace(s,'的','')))//1 + (length(s)-length(replace(s,'是','')))//1
+        |   + (length(s)-length(replace(s,'在','')))//1 + (length(s)-length(replace(s,'了','')))//1
+        |   + (length(s)-length(replace(s,'和','')))//1 + (length(s)-length(replace(s,'有','')))//1 AS zh
+        | FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN de+en+es+fr+zh = 0 THEN 'und'
+        |       WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |       WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |       WHEN es >= fr AND es >= zh THEN 'es'
+        |       WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS lang_pred,
+        |  CASE WHEN de+en+es+fr+zh = 0 THEN 0.0
+        |       ELSE round(greatest(de,en,es,fr,zh) * 1.0 / (de+en+es+fr+zh), 4)
+        |       END AS lang_conf
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // SQL-derivable CDX fields re-derived from the source documents —
+    // these must survive write→gzip→scan→pair→index unchanged
+    "q25_warc_cdx" ->
+      """SELECT
+        | 'com,example,' || source || ')/doc/' || doc_id || '?a=1&b=2' AS urlkey,
+        | '2020010100' || lpad(CAST((doc_id // 60) % 60 AS VARCHAR), 2, '0')
+        |   || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS timestamp,
+        | 'https://www.' || source || '.example.com/doc/' || doc_id || '?b=2&a=1' AS url,
+        | 'text/plain' AS mime, 200 AS status,
+        | 32 AS digest_len,
+        | 'doc' || doc_id || '.warc.gz' AS filename
+        |FROM documents ORDER BY urlkey, timestamp""".stripMargin,
+    // full-probe IVF = exact top-k (same oracle shape as q19)
+    "q26_ann_ivf" ->
+      """SELECT e.vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings e,
+        | (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    // wave-2 scheduling re-derived from the staged wave-1 pending state:
+    // robots filter + per-host politeness top-K + output ordering — the
+    // salted two-phase budget must equal the plain per-host window
+    "q29_frontier_wave" ->
+      """WITH p AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q29_pending.parquet/*.parquet')),
+        |a AS (SELECT * FROM p WHERE NOT (hm5 = 0 AND canonical_url LIKE '%/private%')),
+        |r AS (SELECT host, surt_key, priority,
+        |        CAST(row_number() OVER (PARTITION BY host ORDER BY priority, surt_key) AS INTEGER) AS rank_in_host
+        |      FROM a)
+        |SELECT host, surt_key, priority, rank_in_host FROM r WHERE rank_in_host <= 5
+        |ORDER BY priority, host, surt_key""".stripMargin,
+    // decoded dimensions must match the synthesized metadata row-for-row
+    "q30_image_features" ->
+      """SELECT image_id, w, h, TRUE AS decode_ok
+        |FROM read_parquet('/tmp/graft_oracle_stage/q30_image_meta.parquet/*.parquet')
+        |ORDER BY image_id""".stripMargin,
+    "q31_image_neardup" ->
+      """WITH d AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q31_phash.parquet/*.parquet'))
+        |SELECT a.image_id AS id_a, b.image_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM d a JOIN d b ON a.image_id < b.image_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q35_frontier_from_images" ->
+      """WITH p AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q35_pending.parquet/*.parquet')),
+        |a AS (SELECT * FROM p WHERE NOT (hm5 = 0 AND canonical_url LIKE '%/private%')),
+        |r AS (SELECT host, surt_key, priority,
+        |        CAST(row_number() OVER (PARTITION BY host ORDER BY priority, surt_key) AS INTEGER) AS rank_in_host
+        |      FROM a)
+        |SELECT host, surt_key, priority, rank_in_host FROM r WHERE rank_in_host <= 3
+        |ORDER BY priority, host, surt_key""".stripMargin,
     "q34_batch_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -376,6 +376,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
   }
 
   def scheduledDf(wave: Int): DataFrame = spark.read.parquet(dir("scheduled", s"wave=$wave"))
+  /** Pending frontier state as of `wave` — exposed so the scheduling
+    * step (robots + politeness budget + ordering) of wave+1 can be
+    * oracle-checked against its exact input. */
+  def pendingDf(wave: Int): DataFrame = spark.read.parquet(dir("frontier", s"wave=$wave"))
   /** Full seen membership as of `wave` (union of committed deltas). */
   def seenDf(wave: Int): DataFrame = seenUpTo(wave)
   def metricsDf(wave: Int): DataFrame = spark.read.parquet(dir("metrics", s"wave=$wave"))

@@ -88,6 +88,26 @@ object Dedup {
     sig
   }
 
+  /** Per-document MinHash signatures plus per-band bucket keys:
+    * `(id, sig: array<long>[numHashes], bh: array<int>[bands])` where
+    * `bh(b)` hashes the band's signature slice (the LSH bucket key).
+    * Exposed separately from pair generation so the band-bucket join
+    * can be oracle-checked over a staged copy of this exact table. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigUdf = udf((t: String) => minhashSignature(t, shingleSize, numHashes))
+    val bhCols = (0 until bands).map { b =>
+      hash((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
+    }
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .withColumn("sig", sigUdf(col("t"))).drop("t")
+      .withColumn("bh", array(bhCols: _*))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
     * verification. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     *
@@ -102,24 +122,20 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.7, maxBucket: Int = 1000,
       truncAcc: Option[org.apache.spark.util.LongAccumulator] = None
-  ): DataFrame = {
-    val acc = truncAcc.getOrElse(truncationAccumulator(df, "graft.dedup.minhash.truncated_docs"))
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = bands
-    val rowsPerBand = numHashes / bands
-    val spark = df.sparkSession
-    import spark.implicits._
-    val sigUdf = udf((t: String) => minhashSignature(t, shingleSize, numHashes))
-    val withSig = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .withColumn("sig", sigUdf(col("t"))).drop("t")
+  ): DataFrame =
+    minhashPairsFromSignatures(
+      minhashSignatures(df, idCol, textCol, shingleSize, numHashes, bands),
+      threshold, maxBucket, truncAcc)
 
-    val bandCols = (0 until rows).map { b =>
-      struct(lit(b).as("band"),
-        hash((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*).as("bh"))
-    }
-    val exploded = withSig
-      .withColumn("bandkey", explode(array(bandCols: _*)))
-      .select(col("bandkey.band"), col("bandkey.bh"), col("id"), col("sig"))
+  /** Pair generation over a precomputed `(id, sig, bh)` signature table
+    * (see minhashSignatures) — the bucket join + in-bucket verify. */
+  def minhashPairsFromSignatures(
+      sigDf: DataFrame, threshold: Double = 0.7, maxBucket: Int = 1000,
+      truncAcc: Option[org.apache.spark.util.LongAccumulator] = None
+  ): DataFrame = {
+    val acc = truncAcc.getOrElse(truncationAccumulator(sigDf, "graft.dedup.minhash.truncated_docs"))
+    val exploded = sigDf
+      .select(col("id"), col("sig"), posexplode(col("bh")).as(Seq("band", "bh")))
 
     // one shuffle: group docs sharing a band hash
     val buckets = exploded.groupBy(col("band"), col("bh"))
@@ -180,20 +196,32 @@ object Dedup {
     out
   }
 
+  /** Per-document 64-bit SimHash values `(id, sh)` — exposed so the
+    * pigeonhole pair generation can be oracle-checked over a staged
+    * copy of this exact table. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val shUdf = udf((t: String) => simhash64(t))
+    df.select(col(idCol).cast("long").as("id"), shUdf(col(textCol)).as("sh"))
+  }
+
   /** SimHash near-dup pairs within Hamming distance `maxDist`, using the
     * pigeonhole banding trick: split 64 bits into maxDist+1 chunks; any
     * pair within distance must agree exactly on ≥1 chunk → candidates
-    * are chunk-equality groups (shuffle on small chunk keys only). */
+    * are chunk-equality groups (shuffle on small chunk keys only).
+    * Recall is EXACTLY 1 for distance ≤ maxDist (pigeonhole), so the
+    * output equals the all-pairs hamming join — DuckDB-oracle-able. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
                    maxBucket: Int = 1000,
-                   truncAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val acc = truncAcc.getOrElse(truncationAccumulator(df, "graft.dedup.simhash.truncated_docs"))
-    val shUdf = udf((t: String) => simhash64(t))
+                   truncAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    simhashPairsFromHashes(simhashes(df, idCol, textCol), maxDist, maxBucket, truncAcc)
+
+  /** Pair generation over a precomputed `(id, sh)` simhash table. */
+  def simhashPairsFromHashes(withSh: DataFrame, maxDist: Int = 3,
+                             maxBucket: Int = 1000,
+                             truncAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val acc = truncAcc.getOrElse(truncationAccumulator(withSh, "graft.dedup.simhash.truncated_docs"))
     val chunks = maxDist + 1
     val bits = 64 / chunks
-    val withSh = df.select(col(idCol).cast("long").as("id"), shUdf(col(textCol)).as("sh"))
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         col("sh").bitwiseAND(lit(((1L << bits) - 1) << (c * bits))).as("ck"))

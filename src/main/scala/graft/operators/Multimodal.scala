@@ -78,18 +78,26 @@ object Multimodal {
     * pigeonhole-banded like SimHash (shuffle on 16-bit chunk keys).
     * Over-cap buckets report dropped docs via accumulator + log. */
   def imageNearDups(images: DataFrame, maxDist: Int = 6, maxBucket: Int = 1000,
-                    truncAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    val feats = imageFeatures(images).toDF()
+                    truncAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    imageNearDupsFromHashes(
+      imageFeatures(images).toDF().filter(col("decode_ok")).select("image_id", "phash"),
+      maxDist, maxBucket, truncAcc)
+
+  /** Pair generation over a precomputed `(image_id, phash)` table —
+    * exposed so the pigeonhole bucket join can be oracle-checked over a
+    * staged copy (recall is exactly 1 for hamming ≤ maxDist ≤ 3 with 4
+    * chunks, so the output equals the all-pairs hamming join). */
+  def imageNearDupsFromHashes(feats: DataFrame, maxDist: Int = 6, maxBucket: Int = 1000,
+                              truncAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val chunks = 4
-    val spark = images.sparkSession
-    import spark.implicits._
+    val spark = feats.sparkSession
     val acc = truncAcc.getOrElse(
       spark.sparkContext.longAccumulator("graft.multimodal.phash.truncated_docs"))
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         col("phash").bitwiseAND(lit(0xffffL << (c * 16))).as("ck"))
     }
-    val exploded = feats.filter(col("decode_ok"))
+    val exploded = feats
       .withColumn("k", explode(array(chunkCols: _*)))
       .select(col("k.chunk"), col("k.ck"), col("image_id"), col("phash"))
     val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {

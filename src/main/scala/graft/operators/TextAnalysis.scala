@@ -80,8 +80,11 @@ object TextAnalysis {
     for ((lang, markers) <- LANG_MARKERS.toSeq.sortBy(_._1)) {
       var score = 0
       for (m <- markers) {
+        // non-overlapping count (greedy left-to-right) — the same
+        // semantics as a replace-and-measure count, so the heuristic is
+        // exactly reproducible in plain SQL for the DuckDB oracle
         var idx = padded.indexOf(m)
-        while (idx >= 0) { score += 1; idx = padded.indexOf(m, idx + 1) }
+        while (idx >= 0) { score += 1; idx = padded.indexOf(m, idx + m.length) }
       }
       total += score
       if (score > bestScore) { bestScore = score; bestLang = lang }
@@ -103,11 +106,13 @@ object TextAnalysis {
   /** Winnowing fingerprint: rolling hash over character k-grams, local
     * minima per window — robust to small edits, standard for near-dup /
     * provenance at corpus scale. */
-  def winnowingFingerprint(text: String, k: Int = 8, window: Int = 16): Array[Long] = {
+  /** The per-position k-gram rolling hashes winnowing selects from —
+    * exposed so the selection step can be oracle-checked over a staged
+    * copy of this exact table (polynomial rolling hash base 257). */
+  def kgramHashes(text: String, k: Int = 8): Array[Long] = {
     if (text == null || text.length < k) return Array.empty
     val n = text.length - k + 1
     val hashes = new Array[Long](n)
-    // polynomial rolling hash base 257
     val B = 257L
     var pow = 1L
     var i = 0
@@ -122,7 +127,15 @@ object TextAnalysis {
       hashes(i) = h
       i += 1
     }
+    hashes
+  }
+
+  def winnowingFingerprint(text: String, k: Int = 8, window: Int = 16): Array[Long] = {
+    val hashes = kgramHashes(text, k)
+    if (hashes.isEmpty) return Array.empty
+    val n = hashes.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
     var lastPicked = -1
     i = 0
     val m = math.max(1, n - window + 1)
