@@ -45,14 +45,18 @@ final case class FrontierBenchResult(scheduled: Long, deduped: Long, elapsedSec:
 
 object FrontierBench {
   /** Initialize + two waves over `seeds` synthetic URLs; throughput =
-    * (scheduled + deduped) / elapsed across the waves. */
+    * (scheduled + deduped) / elapsed across the waves. The synthetic
+    * host pool grows with the corpus (real crawls discover more hosts
+    * as they widen), so wave size scales with seed count instead of
+    * saturating at a fixed politeness ceiling. */
   def run(spark: SparkSession, seeds: Int): FrontierBenchResult = {
     val ck = java.nio.file.Files.createTempDirectory("graft-frontier-bench").toString
     val cfg = graft.frontier.FrontierConfig(
       checkpointDir = ck, hostBudget = 200, seenShards = 64,
-      outlinksPerUrl = 3, hostPool = 2000)
+      outlinksPerUrl = 3, hostPool = math.max(2000, seeds / 500))
     val f = new graft.frontier.Frontier(spark, cfg)
-    val seedDf = graft.frontier.Frontier.syntheticSeeds(spark, seeds)
+    val seedDf = graft.frontier.Frontier
+      .syntheticSeeds(spark, seeds, hostPool = math.max(200, seeds / 2000))
       .repartition(spark.sparkContext.defaultParallelism)
     val t0 = System.nanoTime()
     val r0 = f.initialize(seedDf)
@@ -64,21 +68,77 @@ object FrontierBench {
   }
 }
 
-/** North-rule scaling evidence: the same frontier job at local[8] vs
-  * local[32] (the sandbox proxy for N vs 4N executors). One measurement
-  * per JVM (pass cores as arg) — invoke twice and combine:
-  *   sbt "runMain graft.ScalingBench 8 1000000"
-  *   sbt "runMain graft.ScalingBench 32 1000000"
-  * Each prints one JSON line with urls/sec at that parallelism. */
+/** North-rule scaling evidence: the same frontier job at N vs 4N
+  * parallelism. One measurement per JVM (pass cores as arg) — invoke
+  * twice and combine:
+  *   tools/scalingbench.sh 2 8000000
+  *   tools/scalingbench.sh 8 8000000
+  * With GRAFT_EXECUTORS=N set, runs on `local-cluster[N,1,memMB]`
+  * instead of local[cores]: N REAL executor JVMs (own heap, own GC,
+  * netty shuffle) — the faithful in-sandbox stand-in for an N- vs
+  * 4N-executor spark-submit cluster. GRAFT_EXEC_MEM_MB sizes each
+  * executor (default 2048). Each prints one JSON line. */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.map(_.toInt).getOrElse(32)
     val seeds = args.lift(1).map(_.toInt).getOrElse(1000000)
-    val spark = GraftSession.create(s"local[$cores]")
-    FrontierBench.run(spark, seeds = 20000) // warm-up (JIT/codegen)
-    val r = FrontierBench.run(spark, seeds = seeds)
-    println(
-      f"""{"metric":"frontier_throughput","unit":"urls/sec","cores":$cores,"seeds":$seeds,"urls_per_sec":${r.urlsPerSec}%.0f,"elapsed_sec":${r.elapsedSec}%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped}}""")
+    val execs = sys.env.get("GRAFT_EXECUTORS").map(_.toInt)
+    val execCores = sys.env.getOrElse("GRAFT_EXEC_CORES", "4").toInt
+    val memMb = sys.env.getOrElse("GRAFT_EXEC_MEM_MB", "8192").toInt
+    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val spark = execs match {
+      case Some(n) =>
+        // a production job keeps ONE shuffle-partition setting as the
+        // cluster grows N→4N; sizing it to the larger config keeps task
+        // granularity identical across both measurements
+        val sp = sys.env.getOrElse("GRAFT_SP", "32").toInt
+        GraftSession.create(s"local-cluster[$n,$execCores,$memMb]",
+          shufflePartitions = sp, extraConf = Map(
+          "spark.executor.extraClassPath" -> classesDir,
+          "spark.executor.memory" -> s"${memMb}m",
+          // each executor JVM must see only ITS cores: otherwise GC/JIT
+          // pools size themselves for the whole 32-hw-thread box in
+          // every executor, and N small executors pay an unrealistic
+          // thread-storm tax a real N-node cluster never sees
+          "spark.executor.extraJavaOptions" -> s"-XX:ActiveProcessorCount=$execCores",
+          // short tasks: the default 3 s delay-scheduling wait idles
+          // the other executors whenever the preferred one is busy
+          "spark.locality.wait" -> "0"))
+      case None => GraftSession.create(s"local[$cores]")
+    }
+    // warm-up (JIT/codegen) — in chunk mode the phase timer starts
+    // after this, so chunked and unchunked elapsed are comparable
+    FrontierBench.run(spark, seeds = 20000)
+    val par = execs.getOrElse(cores)
+    val mode = if (execs.isDefined) "executors" else "threads"
+    (args.lift(2), args.lift(3)) match {
+      case (Some(ck), phaseOpt @ Some(_)) =>
+        // CHUNKED mode for inputs too large for one sandbox invocation:
+        // `... <cores> <seeds> <ckdir> init` then `... <ckdir> wave` per
+        // wave — each phase in a fresh JVM resuming the shared
+        // checkpoint (the manifest protocol makes this exact); sum the
+        // per-phase elapsed_sec and counts across invocations.
+        val phase = phaseOpt.get
+        val cfg = graft.frontier.FrontierConfig(checkpointDir = ck,
+          hostBudget = 200, seenShards = 64, outlinksPerUrl = 3,
+          hostPool = math.max(2000, seeds / 500))
+        val f = new graft.frontier.Frontier(spark, cfg)
+        val t0 = System.nanoTime()
+        val r =
+          if (phase == "init") {
+            val seedDf = graft.frontier.Frontier.syntheticSeeds(spark, seeds,
+              hostPool = math.max(200, seeds / 2000))
+              .repartition(spark.sparkContext.defaultParallelism)
+            f.initialize(seedDf)
+          } else f.runWave()
+        val el = (System.nanoTime() - t0) / 1e9
+        println(
+          f"""{"metric":"frontier_chunk","phase":"$phase","mode":"$mode","cores":$par,"seeds":$seeds,"elapsed_sec":$el%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped}}""")
+      case _ =>
+        val r = FrontierBench.run(spark, seeds = seeds)
+        println(
+          f"""{"metric":"frontier_throughput","unit":"urls/sec","mode":"$mode","cores":$par,"seeds":$seeds,"urls_per_sec":${r.urlsPerSec}%.0f,"elapsed_sec":${r.elapsedSec}%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped}}""")
+    }
     spark.stop()
   }
 }

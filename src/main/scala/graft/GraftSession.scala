@@ -7,17 +7,35 @@ import org.apache.spark.sql.SparkSession
   * 200), AQE on for runtime skew handling. */
 object GraftSession {
   def create(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-             shufflePartitions: Int = -1): SparkSession = {
-    val cores = "local\\[(\\d+)\\]".r.findFirstMatchIn(master).map(_.group(1).toInt).getOrElse(32)
+             shufflePartitions: Int = -1,
+             extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val cores = "local\\[(\\d+)\\]".r.findFirstMatchIn(master).map(_.group(1).toInt)
+      .orElse("local-cluster\\[(\\d+),(\\d+),\\d+\\]".r.findFirstMatchIn(master)
+        .map(m => m.group(1).toInt * m.group(2).toInt))
+      .getOrElse(32)
     val sp = if (shufflePartitions > 0) shufflePartitions else cores
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(master)
       .appName("graft-warc-engine")
+    val spark = extraConf.foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", sp.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.get("GRAFT_AQE").contains("0")).toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // split files at 16 MB locally (vs the 128 MB cluster default):
+      // checkpoint read-backs here are 10s-100s of MB, and a single
+      // 128 MB split would serialize the map side of every downstream
+      // stage onto one task no matter how many cores the session has.
+      // On a cluster the same inputs span many HDFS/S3 blocks natively.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // commit renames inside tasks (v2), not serially on the driver
+      // after every write job — the checkpoint-per-wave layout writes
+      // often, and a driver-side O(files) commit is a fixed cost that
+      // would cap strong scaling no matter the executor count
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // NOTE: spark.driver.memory cannot be set here — in local mode the

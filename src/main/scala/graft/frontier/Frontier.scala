@@ -40,7 +40,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 final case class FrontierConfig(
     checkpointDir: String,
     hostBudget: Int = 8, // fetches per host per wave
-    salt: Int = 8,
+    // salt width bounds the hottest (host, salt) window group at
+    // ~hottest-host/salt rows; 32 keeps a 5%-of-wave Zipf head host
+    // from serializing one reducer (phase-2 input stays ≤ salt*budget
+    // rows per host, so a wider salt costs almost nothing)
+    salt: Int = 32,
     seenShards: Int = 64,
     outlinksPerUrl: Int = 3,
     hostPool: Int = 200, // synthetic outlink host universe
@@ -270,14 +274,21 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
       .agg(min("priority").as("priority"),
         min("canonical_url").as("canonical_url"), min("host").as("host"))
     val pending = canon.select("surt_key", "canonical_url", "host", "priority")
-    pending.write.mode("overwrite").parquet(dir("frontier", "wave=0"))
+    // count observed on the write job itself — no read-back count job
+    val obs = org.apache.spark.sql.Observation()
+    pending.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(dir("frontier", "wave=0"))
     phase("frontier write")
-    pending.select("surt_key").write.mode("overwrite").parquet(dir("seen", "wave=0"))
+    // seen = surt_key projection of the JUST-WRITTEN frontier: a
+    // single-column parquet read, not a recompute of the whole
+    // canonicalize+dedup DAG (which would double init cost)
+    spark.read.parquet(dir("frontier", "wave=0")).select("surt_key")
+      .write.mode("overwrite").parquet(dir("seen", "wave=0"))
     phase("seen write")
     updateShards(emptyShards(), spark.read.parquet(dir("seen", "wave=0")))
       .write.mode("overwrite").parquet(dir("shards", "wave=0"))
     phase("shards build")
-    val n = spark.read.parquet(dir("frontier", "wave=0")).count()
+    val n = obs.get("n").asInstanceOf[Long]
     val res = WaveResult(0, n, n, n, n, 0, n, n, (System.nanoTime() - t0) / 1e9)
     commit(0, res)
     res
@@ -310,7 +321,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
       .withColumn("wave", lit(wave))
       .select("host", "surt_key", "canonical_url", "priority", "rank_in_host", "wave")
     val scheduledOut = if (fast) scheduled else scheduled.orderBy("priority", "host", "surt_key")
-    scheduledOut.write.mode("overwrite").parquet(dir("scheduled", s"wave=$wave"))
+    // count observed on the write job itself — no read-back count job
+    val schedObs = org.apache.spark.sql.Observation()
+    scheduledOut.observe(schedObs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(dir("scheduled", s"wave=$wave"))
     val scheduledR = spark.read.parquet(dir("scheduled", s"wave=$wave"))
     phase("schedule+write")
 
@@ -364,9 +378,9 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
     fresh.unpersist(blocking = false)
     phase("shards update")
 
-    // counts from the written parquet (metadata-only, no recompute);
-    // state-size reports are observability, skipped in bench mode
-    val nScheduled = spark.read.parquet(dir("scheduled", s"wave=$wave")).count()
+    // scheduled count came from the write job's Observation; state-size
+    // reports are observability, skipped in bench mode
+    val nScheduled = schedObs.get("n").asInstanceOf[Long]
     val nSeen = if (fast) -1L else seenUpTo(wave).count()
     val nPending = if (fast) -1L else spark.read.parquet(dir("frontier", s"wave=$wave")).count()
     val res = WaveResult(wave, nFresh, nFresh, nFresh, nScheduled,
@@ -399,12 +413,13 @@ object Frontier {
   /** Deterministic seed list synthesized from the images/documents
     * tables (no external data): URL-shaped strings exercising every SURT
     * category (www prefixes, ports, query sort, %-encoding). */
-  def syntheticSeeds(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+  def syntheticSeeds(spark: SparkSession, n: Int, seed: Long = 42L,
+                     hostPool: Int = 200): DataFrame = {
     import spark.implicits._
     spark.range(n).map { i =>
       val h = SeenFilter.hashKey(s"seed:$seed:$i")
       val u = (java.lang.Math.floorMod(h, 1000000L)) / 1000000.0
-      val hostId = (200 * u * u * u).toInt
+      val hostId = (hostPool * u * u * u).toInt
       val www = if (i % 3 == 0) "www." else if (i % 7 == 0) "www2." else ""
       val port = if (i % 11 == 0) ":8443" else ""
       val q = if (i % 2 == 0) s"?b=$i&a=${i % 10}" else ""
