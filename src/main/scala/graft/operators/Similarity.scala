@@ -48,18 +48,84 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
-  /** IVF index: assign each vector to its nearest of `nlist` coarse
-    * centroids (deterministically seeded sample as centroids — a cheap
-    * stand-in for k-means that keeps the partition-probe structure).
-    * Returns the corpus augmented with a `ivf_cell` column; store
-    * partitioned by it so a query scans only `nprobe` cells. */
-  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-                nlist: Int = 64, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    val spark = df.sparkSession
-    val centroids = df.select(col(vecCol).cast("array<double>"))
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    n = math.sqrt(n)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Deterministic hash-sample of `nlist` vectors (k-means seeding). */
+  private def sampleCentroids(df: DataFrame, vecCol: String, nlist: Int): Array[Array[Double]] =
+    df.select(col(vecCol).cast("array<double>"))
       .orderBy(abs(hash(col(vecCol).cast("array<string>"))))
       .limit(nlist)
-      .collect().map(_.getSeq[Double](0).toArray)
+      .collect().map(r => normalize(r.getSeq[Double](0).toArray))
+
+  /** Distributed spherical k-means (Lloyd iterations) for the IVF
+    * coarse quantizer. Each iteration is ONE pass: map-side partial
+    * (sum, count) per cell inside mapPartitions — so the shuffle-free
+    * per-partition output is ≤ nlist rows — then a driver reduce over
+    * the ≤ nlist×partitions partials (the classic treeAggregate shape;
+    * driver state is O(nlist·dim), never O(data)). Centroids are
+    * renormalized each round (assignment is by dot product = cosine on
+    * unit vectors). Empty cells keep their previous centroid. */
+  def kmeansCentroids(df: DataFrame, vecCol: String, nlist: Int,
+                      iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var centroids = sampleCentroids(df, vecCol, nlist)
+    val vecs = df.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+    for (_ <- 1 to iters) {
+      val b = spark.sparkContext.broadcast(centroids)
+      val partials = vecs.mapPartitions { it =>
+        val cs = b.value
+        val dim = if (cs.nonEmpty) cs(0).length else 0
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { sv =>
+          val v = sv.toArray
+          var best = 0; var bestDot = Double.MinValue; var c = 0
+          while (c < cs.length) {
+            var dot = 0.0; var i = 0
+            while (i < v.length) { dot += v(i) * cs(c)(i); i += 1 }
+            if (dot > bestDot) { bestDot = dot; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        (0 until cs.length).iterator
+          .filter(counts(_) > 0).map(c => (c, sums(c).toSeq, counts(c)))
+      }.collect() // ≤ nlist × partitions tiny rows
+      val agg = Array.fill(centroids.length)(new Array[Double](centroids(0).length))
+      val n = new Array[Long](centroids.length)
+      partials.foreach { case (c, s, cnt) =>
+        var i = 0
+        while (i < s.length) { agg(c)(i) += s(i); i += 1 }
+        n(c) += cnt
+      }
+      centroids = centroids.indices.map { c =>
+        if (n(c) == 0) centroids(c) else normalize(agg(c))
+      }.toArray
+      b.destroy()
+    }
+    centroids
+  }
+
+  /** IVF index: assign each vector to its nearest of `nlist` coarse
+    * centroids (spherical k-means, `kmeansIters` Lloyd rounds; 0 falls
+    * back to the deterministic hash-sample seeding). Returns the corpus
+    * augmented with a `ivf_cell` column; store partitioned by it so a
+    * query scans only `nprobe` cells. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                nlist: Int = 64, seed: Long = 42L,
+                kmeansIters: Int = 5): (DataFrame, Array[Array[Double]]) = {
+    val spark = df.sparkSession
+    val centroids =
+      if (kmeansIters <= 0) sampleCentroids(df, vecCol, nlist)
+      else kmeansCentroids(df, vecCol, nlist, kmeansIters, seed)
     val b = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf((v: Seq[Double]) => {
       val cs = b.value
