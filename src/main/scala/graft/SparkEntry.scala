@@ -493,6 +493,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 4).as("total"))
         .orderBy($"o_custkey")
     }),
+    // ---- robots.txt gate (north rule: politeness + robots). URLs and
+    // the SELECTED agent group's parsed rules are staged; the oracle
+    // re-derives the longest-prefix-match decision (allow wins ties,
+    // default allow, selected group replaces *) in SQL. The text→rules
+    // parse itself is unit-golden-tested in RobotsSpec.
+    "q39_robots_filter" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val docs = t(dir, "documents").select($"doc_id".cast("long"), $"source")
+      val urls = docs.select(
+        concat($"source", lit(".example.org")).as("host"),
+        concat(
+          when($"doc_id" % 4 === 0, lit("/private/p"))
+            .when($"doc_id" % 4 === 1, lit("/private/ok/p"))
+            .when($"doc_id" % 4 === 2, lit("/pub/p"))
+            .otherwise(lit("/graft-only/p")),
+          lit("/"), $"doc_id").as("path"))
+      val robotsTxt = udf((h: String) => {
+        val base = "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        if (java.lang.Math.floorMod(graft.frontier.SeenFilter.hashKey(h), 2L) == 0L)
+          base + "\nUser-agent: graft\nDisallow: /graft-only\nCrawl-delay: 2\n"
+        else base
+      })
+      val robots = urls.select($"host").distinct()
+        .select($"host", robotsTxt($"host").as("robots_txt"))
+      urls.write.mode("overwrite").parquet(StageDir + "/q39_urls.parquet")
+      robots.as[(String, String)].flatMap { case (h, txt) =>
+        graft.frontier.Robots.groupFor(graft.frontier.Robots.parse(txt), "graft")
+          .toSeq.flatMap(_.rules).map(r => (h, r.allow, r.pattern))
+      }.toDF("host", "allow", "pattern")
+        .write.mode("overwrite").parquet(StageDir + "/q39_rules.parquet")
+      graft.frontier.Robots.applyRobots(
+          sp.read.parquet(StageDir + "/q39_urls.parquet"), robots, "host", "path",
+          agent = "graft")
+        .orderBy($"host", $"path")
+    }),
     // ---- header parsing + decode over synthesized blocks ------------
     "q32_parse_headers" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       Functions.registerAll(sp)
@@ -792,6 +826,21 @@ object SparkEntry {
         |      FROM a)
         |SELECT host, surt_key, priority, rank_in_host FROM r WHERE rank_in_host <= 3
         |ORDER BY priority, host, surt_key""".stripMargin,
+    // robots decision re-derived over the staged urls + selected-group
+    // rules: longest LIKE-prefix match, allow wins ties, default allow
+    "q39_robots_filter" ->
+      """WITH u AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q39_urls.parquet/*.parquet')),
+        |r AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q39_rules.parquet/*.parquet')),
+        |m AS (SELECT u.host, u.path, r.allow, length(r.pattern) AS l
+        |      FROM u JOIN r ON u.host = r.host AND u.path LIKE r.pattern || '%'),
+        |best AS (SELECT host, path, max(l) AS ml FROM m GROUP BY 1, 2),
+        |dec AS (SELECT m.host, m.path, bool_or(m.allow) AS allow
+        |        FROM m JOIN best ON m.host = best.host AND m.path = best.path AND m.l = best.ml
+        |        GROUP BY 1, 2)
+        |SELECT u.host AS host, u.path AS path FROM u
+        |LEFT JOIN dec ON u.host = dec.host AND u.path = dec.path
+        |WHERE coalesce(dec.allow, TRUE)
+        |ORDER BY 1, 2""".stripMargin,
     "q34_batch_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -86,7 +86,7 @@ object Robots {
       i += 1
     }
     if (anchored && pos != path.length) return -1
-    p.length // specificity = pattern length (REP convention)
+    pattern.length // specificity = full pattern length ($ counts)
   }
 
   /** Decision for (ruleset, path): allowed? Longest match wins; tie →

@@ -1,0 +1,93 @@
+package graft.frontier
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class RobotsSpec extends AnyFunSuite with SparkTestBase {
+  import Robots._
+
+  val txt =
+    """# comment
+      |User-agent: *
+      |Disallow: /private
+      |Allow: /private/ok
+      |Crawl-delay: 1.5
+      |
+      |User-agent: graft
+      |User-agent: graftbot
+      |Disallow: /graft-only
+      |Allow:
+      |
+      |User-agent: empty
+      |Disallow:
+      |""".stripMargin
+
+  test("parse: groups, shared agent lines, crawl-delay, empty disallow") {
+    val sets = parse(txt)
+    val star = sets.find(_.agent == "*").get
+    assert(star.rules == Seq(Rule(false, "/private"), Rule(true, "/private/ok")))
+    assert(star.crawlDelay.contains(1.5))
+    val graft = sets.find(_.agent == "graft").get
+    val graftbot = sets.find(_.agent == "graftbot").get
+    assert(graft.rules == graftbot.rules)
+    assert(graft.rules == Seq(Rule(false, "/graft-only"), Rule(true, "")))
+    // empty Disallow = no rule = allow everything
+    assert(sets.find(_.agent == "empty").get.rules.isEmpty)
+  }
+
+  test("matchLen: prefixes, * wildcard, $ anchor") {
+    assert(matchLen("/private", "/private/x") == 8)
+    assert(matchLen("/private", "/pub") == -1)
+    assert(matchLen("/*.php", "/a/b.php") == 6)
+    assert(matchLen("/*.php$", "/a/b.php") == 7)
+    assert(matchLen("/*.php$", "/a/b.php?q=1") == -1)
+    assert(matchLen("", "/anything") == 0)
+  }
+
+  test("isAllowed: longest match wins, allow wins ties, default allow") {
+    val rules = Seq(Rule(false, "/private"), Rule(true, "/private/ok"))
+    assert(!isAllowed(rules, "/private/secret"))
+    assert(isAllowed(rules, "/private/ok/file"))
+    assert(isAllowed(rules, "/public"))
+    // tie: same length, allow wins
+    val tie = Seq(Rule(false, "/a/b"), Rule(true, "/a/b"))
+    assert(isAllowed(tie, "/a/b/c"))
+  }
+
+  test("groupFor: most specific agent, * fallback, only selected group applies") {
+    val sets = parse(txt)
+    assert(groupFor(sets, "GraftBot/1.0").get.agent == "graftbot")
+    assert(groupFor(sets, "graft/2").get.agent == "graft")
+    assert(groupFor(sets, "otherbot").get.agent == "*")
+    // graft group does NOT inherit * rules: /private allowed for graft
+    val g = groupFor(sets, "graft").get
+    assert(isAllowed(g.rules, "/private/secret"))
+    assert(!isAllowed(g.rules, "/graft-only/x"))
+  }
+
+  test("applyRobots: broadcast-join filter over (host, path)") {
+    import spark.implicits._
+    val urls = Seq(
+      ("a.org", "/private/x"), ("a.org", "/private/ok/y"), ("a.org", "/pub"),
+      ("b.org", "/private/x"), // no robots row -> allowed
+      ("c.org", "/graft-only/z"), ("c.org", "/private/q")
+    ).toDF("host", "path")
+    val robots = Seq(
+      ("a.org", "User-agent: *\nDisallow: /private\nAllow: /private/ok"),
+      ("c.org", txt)
+    ).toDF("host", "robots_txt")
+    val kept = Robots.applyRobots(urls, robots, "host", "path", agent = "graft")
+      .as[(String, String)].collect().toSet
+    assert(kept == Set(
+      ("a.org", "/private/ok/y"), ("a.org", "/pub"),
+      ("b.org", "/private/x"),
+      ("c.org", "/private/q"))) // graft group ignores * Disallow /private
+  }
+
+  test("crawlDelays extraction") {
+    import spark.implicits._
+    val robots = Seq(("a.org", txt), ("b.org", "User-agent: *\nDisallow: /x")).toDF("host", "robots_txt")
+    val d = Robots.crawlDelays(robots, agent = "otherbot").as[(String, Double)].collect().toMap
+    assert(d == Map("a.org" -> 1.5))
+  }
+}
