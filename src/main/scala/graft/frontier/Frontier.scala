@@ -48,7 +48,9 @@ final case class FrontierConfig(
     seenShards: Int = 64,
     outlinksPerUrl: Int = 3,
     hostPool: Int = 200, // synthetic outlink host universe
-    seed: Long = 42L
+    seed: Long = 42L,
+    agent: String = "graft", // user-agent for robots group selection
+    waveWindowSec: Int = 60 // politeness window a wave's budget paces over
 )
 
 final case class WaveResult(
@@ -63,7 +65,10 @@ final case class WaveResult(
     elapsedSec: Double
 )
 
-class Frontier(spark: SparkSession, cfg: FrontierConfig) {
+class Frontier(spark: SparkSession, cfg: FrontierConfig,
+               /** optional real robots table (host, robots_txt); when
+                 * absent the deterministic synthetic rule applies */
+               robots: Option[DataFrame] = None) {
   import spark.implicits._
   Functions.registerAll(spark)
 
@@ -172,27 +177,54 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig) {
   // Robots / politeness
   // ----------------------------------------------------------------
 
-  /** Deterministic synthetic robots rules: every 5th host (by hash)
-    * disallows paths under /private. Broadcast-joined. */
-  private def applyRobots(df: DataFrame): DataFrame = {
-    val disallowed = udf((host: String, url: String) => {
-      val blocked = java.lang.Math.floorMod(SeenFilter.hashKey(host), 5L) == 0L
-      blocked && url.contains("/private")
-    })
-    df.filter(!disallowed(col("host"), col("canonical_url")))
+  /** Robots gate. With a real robots table (`robots`: host,
+    * robots_txt) the rules are parsed once per host and broadcast
+    * (Robots.applyRobots — RFC 9309 longest-match semantics) against
+    * the URL path. Without one, the deterministic synthetic rule
+    * (every 5th host by hash disallows /private) keeps benches and
+    * oracles reproducible. */
+  private def applyRobots(df: DataFrame): DataFrame = robots match {
+    case Some(r) =>
+      val pathOf = udf((url: String) =>
+        url.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "") match {
+          case "" => "/"
+          case p  => p
+        })
+      Robots.applyRobots(df.withColumn("__path", pathOf(col("canonical_url"))),
+          r, "host", "__path", agent = cfg.agent)
+        .drop("__path")
+    case None =>
+      val disallowed = udf((host: String, url: String) => {
+        val blocked = java.lang.Math.floorMod(SeenFilter.hashKey(host), 5L) == 0L
+        blocked && url.contains("/private")
+      })
+      df.filter(!disallowed(col("host"), col("canonical_url")))
   }
 
-  /** Two-phase per-host top-K with salting (hot-host skew control). */
+  /** Two-phase per-host top-K with salting (hot-host skew control).
+    * With a robots table, a host's Crawl-delay shrinks its budget to
+    * floor(waveWindowSec / delay) — politeness pacing expressed as a
+    * per-wave cap (broadcast join of the tiny per-host delay table). */
   private def hostBudget(df: DataFrame): DataFrame = {
     val k = cfg.hostBudget
-    val salted = df.withColumn("salt", pmod(hash(col("surt_key")), lit(cfg.salt)))
+    val withK = robots match {
+      case Some(r) =>
+        val delays = Robots.crawlDelays(r, cfg.agent)
+          .select(col("host"),
+            least(lit(k), greatest(lit(1),
+              floor(lit(cfg.waveWindowSec) / col("crawl_delay")).cast("int"))).as("k_eff"))
+        df.join(broadcast(delays), Seq("host"), "left")
+          .withColumn("k_eff", coalesce(col("k_eff"), lit(k)))
+      case None => df.withColumn("k_eff", lit(k))
+    }
+    val salted = withK.withColumn("salt", pmod(hash(col("surt_key")), lit(cfg.salt)))
     val w1 = Window.partitionBy(col("host"), col("salt"))
       .orderBy(col("priority"), col("surt_key"))
-    val local = salted.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+    val local = salted.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= col("k_eff"))
     val w2 = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
     local.withColumn("rank_in_host", row_number().over(w2))
-      .filter(col("rank_in_host") <= k)
-      .drop("salt", "rn1")
+      .filter(col("rank_in_host") <= col("k_eff"))
+      .drop("salt", "rn1", "k_eff")
   }
 
   // ----------------------------------------------------------------

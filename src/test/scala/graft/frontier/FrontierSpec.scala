@@ -171,6 +171,35 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
     assert(wave2 == wave2redo, "resumed wave 2 differs from original")
   }
 
+  test("real robots table: RFC-9309 gate + crawl-delay budget cap inside the wave") {
+    import spark.implicits._
+    val cfg = FrontierConfig(checkpointDir = tmpDir("realrobots"), hostBudget = 5,
+      seenShards = 8, waveWindowSec = 6)
+    // every synthetic host gets the same robots: /seed paths with an odd
+    // doc index disallowed; crawl-delay 3 caps the budget at 6/3 = 2
+    val seeds = Frontier.syntheticSeeds(spark, 400)
+    val hosts = {
+      val f0 = new Frontier(spark, FrontierConfig(checkpointDir = tmpDir("realrobots-probe")))
+      f0.initialize(seeds)
+      f0.pendingDf(0).select("host").distinct().as[String].collect().toSeq
+    }
+    val robots = hosts.map(h =>
+      (h, "User-agent: *\nDisallow: /seed/1\nCrawl-delay: 3\n")).toDF("host", "robots_txt")
+    val f = new Frontier(spark, cfg, robots = Some(robots))
+    f.initialize(seeds)
+    f.runWave()
+    val sched = f.scheduledDf(1)
+    // robots: no scheduled path starts with /seed/1
+    val bad = sched.filter(
+      org.apache.spark.sql.functions.col("canonical_url").rlike("://[^/]+/seed/1")).count()
+    assert(bad == 0, "robots-disallowed path scheduled")
+    // crawl-delay: per-host budget capped at waveWindowSec/delay = 2 (< hostBudget 5)
+    val maxPerHost = sched.groupBy("host").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxPerHost <= 2, s"crawl-delay cap violated: $maxPerHost")
+    assert(sched.count() > 0)
+  }
+
   test("hot-host skew: zipf head host bounded by budget, salting active") {
     val (f, _) = runWaves("skew", 2, 8)
     val sched = f.scheduledDf(2)
