@@ -122,10 +122,16 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.7, maxBucket: Int = 1000,
       truncAcc: Option[org.apache.spark.util.LongAccumulator] = None
-  ): DataFrame =
-    minhashPairsFromSignatures(
-      minhashSignatures(df, idCol, textCol, shingleSize, numHashes, bands),
-      threshold, maxBucket, truncAcc)
+  ): DataFrame = {
+    // persist the signature table: the band explode sits directly above
+    // the (expensive) signature UDF, and Catalyst's projection collapse
+    // would otherwise substitute the UDF into every per-band column —
+    // re-hashing each document once PER BAND. Caching signatures is
+    // standard LSH practice (they are ~KB/doc, documents are not).
+    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashPairsFromSignatures(sigs, threshold, maxBucket, truncAcc)
+  }
 
   /** Pair generation over a precomputed `(id, sig, bh)` signature table
     * (see minhashSignatures) — the bucket join + in-bucket verify. */
@@ -345,8 +351,11 @@ object Dedup {
       }
       sigs
     })
+    // persisted for the same projection-collapse reason as minhashPairs:
+    // the band explode must not re-run the hyperplane UDF per band
     val withSig = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("sigs", sigUdf(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"), col("sigs")(b).as("sig")))
     val exploded = withSig
