@@ -527,6 +527,40 @@ object SparkEntry {
           agent = "graft")
         .orderBy($"host", $"path")
     }),
+    // ---- audio: REAL WAV/PCM16 decode + windowed RMS. The decoded
+    // samples are staged; the oracle recomputes the windowing + RMS in
+    // SQL (decode itself is bit-exact-round-trip tested in MediaSpec).
+    "q40_audio_rms" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val n = t(dir, "documents").count()
+      val media = sp.range(n)
+        .map(i => (f"au$i%06d", graft.frontier.MediaSynth.wavFor(42L, i, 4096)))
+        .toDF("media_id", "bytes")
+      sp.range(n).flatMap { i =>
+        val id = f"au$i%06d"
+        graft.frontier.MediaSynth.pcmSamples(42L, i, 4096)
+          .iterator.zipWithIndex.map { case (sm, j) => (id, j.toLong, sm.toInt) }
+      }.toDF("media_id", "idx", "sample")
+        .write.mode("overwrite").parquet(StageDir + "/q40_samples.parquet")
+      Multimodal.audioWindows(media, "media_id", "bytes", windowSamples = 1024)
+        .filter($"decoded")
+        .select($"media_id", $"window_idx", round($"rms_energy", 4).as("rms"))
+        .orderBy($"media_id", $"window_idx")
+    }),
+    // ---- video: REAL MJPEG frame extraction (JPEG structure + ImageIO
+    // decode); frame count metadata staged, the oracle re-derives the
+    // sampled (frame_idx, dims) set in SQL.
+    "q41_video_frames" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val n = t(dir, "documents").count()
+      val media = sp.range(n).map { i =>
+        val frames = 3 + (i % 4).toInt
+        (f"vid$i%06d", frames, graft.frontier.MediaSynth.mjpegFor(42L, i, frames, w = 32, h = 24))
+      }.toDF("media_id", "n_frames", "bytes")
+      media.select($"media_id", $"n_frames")
+        .write.mode("overwrite").parquet(StageDir + "/q41_meta.parquet")
+      Multimodal.sampleFrames(media, "media_id", "bytes", everyNth = 2, maxFrames = 8)
+        .toDF().select($"media_id", $"frame_idx", $"w", $"h")
+        .orderBy($"media_id", $"frame_idx")
+    }),
     // ---- header parsing + decode over synthesized blocks ------------
     "q32_parse_headers" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       Functions.registerAll(sp)
@@ -841,6 +875,17 @@ object SparkEntry {
         |LEFT JOIN dec ON u.host = dec.host AND u.path = dec.path
         |WHERE coalesce(dec.allow, TRUE)
         |ORDER BY 1, 2""".stripMargin,
+    // windowed RMS recomputed in SQL over the staged decoded samples
+    "q40_audio_rms" ->
+      """SELECT media_id, CAST(idx // 1024 AS INTEGER) AS window_idx,
+        | round(sqrt(avg(CAST(sample AS DOUBLE) * sample)), 4) AS rms
+        |FROM read_parquet('/tmp/graft_oracle_stage/q40_samples.parquet/*.parquet')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sampled frame set re-derived from staged per-video frame counts
+    "q41_video_frames" ->
+      """WITH m AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q41_meta.parquet/*.parquet')),
+        |f AS (SELECT media_id, CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_idx FROM m)
+        |SELECT media_id, frame_idx, 32 AS w, 24 AS h FROM f ORDER BY 1, 2""".stripMargin,
     "q34_batch_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

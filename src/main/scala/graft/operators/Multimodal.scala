@@ -132,31 +132,67 @@ object Multimodal {
   }
 
   // ----------------------------------------------------------------
-  // Audio / video: STUBBED decoders, real plumbing
+  // Audio / video. REAL decode for the JDK-decodable formats:
+  //   - WAV/PCM16 audio via javax.sound.sampled
+  //   - MJPEG video (concatenated baseline JPEGs) via JPEG structure
+  //     + ImageIO per frame
+  // Compressed codecs (mp3/aac/h264/vp9 …) have no decoder in this
+  // container; those fall back to a clearly-labeled deterministic STUB
+  // so the pipeline shape (schema, batching, fan-out) stays testable.
   // ----------------------------------------------------------------
 
-  final case class FrameSample(media_id: String, frame_idx: Int, frame_bytes: Array[Byte])
+  final case class FrameSample(media_id: String, frame_idx: Int,
+                               w: Int, h: Int, frame_bytes: Array[Byte])
 
-  /** Video frame sampling. STUB: the "decoder" slices deterministic
-    * pseudo-frames out of the binary (marked clearly); the partition
-    * batching, schema and fan-out (one row per sampled frame) are the
-    * real pipeline shape. Replace `decodeFrameStub` with a real codec
-    * call on a cluster with codec libs. */
+  /** Frame boundaries of an MJPEG stream. Correct for baseline JPEG:
+    * inside entropy-coded data every FF is stuffed (FF00) or a restart
+    * marker (FFD0-D7), so a bare FFD9 is always end-of-image. */
+  def mjpegFrameRanges(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    var start = -1
+    while (i + 1 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0xff) {
+        val m = bytes(i + 1) & 0xff
+        if (m == 0xd8 && start < 0) { start = i; i += 2 }
+        else if (m == 0xd9 && start >= 0) { out += ((start, i + 2)); start = -1; i += 2 }
+        else i += 1
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Video frame sampling: every `everyNth` frame, up to `maxFrames`.
+    * MJPEG streams decode for REAL (frame split + ImageIO dims); other
+    * containers fall back to `decodeFrameStub` (w/h = -1 marks it). */
   def sampleFrames(media: DataFrame, idCol: String, bytesCol: String,
-                   everyNth: Int = 10, maxFrames: Int = 8): Dataset[FrameSample] = {
+                   everyNth: Int = 2, maxFrames: Int = 8): Dataset[FrameSample] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(idCol).cast("string"), col(bytesCol)).as[(String, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val nFrames = math.min(maxFrames, math.max(1, bytes.length / math.max(1, everyNth * 64)))
-        (0 until nFrames).map { f =>
-          (id, f * everyNth, decodeFrameStub(bytes, f * everyNth))
+        val isMjpeg = bytes.length > 3 &&
+          (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+        if (isMjpeg) {
+          val ranges = mjpegFrameRanges(bytes)
+          ranges.indices.filter(_ % everyNth == 0).take(maxFrames).map { f =>
+            val (s, e) = ranges(f)
+            val jpg = java.util.Arrays.copyOfRange(bytes, s, e)
+            val img = ImageSynth.decode(jpg)
+            FrameSample(id, f, img.getWidth, img.getHeight, jpg)
+          }
+        } else {
+          // STUB fallback for codec-bearing containers (no decoder here)
+          val nFrames = math.min(maxFrames, math.max(1, bytes.length / math.max(1, everyNth * 64)))
+          (0 until nFrames).map(f => FrameSample(id, f * everyNth, -1, -1,
+            decodeFrameStub(bytes, f * everyNth)))
         }
-      }.map(t => FrameSample(t._1, t._2, t._3))
+      }
   }
 
   /** STUB decode — deterministic fake: a 64-byte slice at a frame-
-    * dependent offset (wrap-around). NOT a real video decode. */
+    * dependent offset (wrap-around). NOT a real video decode; used only
+    * for non-MJPEG containers in this environment. */
   private def decodeFrameStub(bytes: Array[Byte], frameIdx: Int): Array[Byte] = {
     if (bytes.isEmpty) return Array.emptyByteArray
     val out = new Array[Byte](64)
@@ -165,19 +201,47 @@ object Multimodal {
     out
   }
 
-  /** Audio feature stub: deterministic "loudness" curve from byte energy
-    * per fixed-size window — real windowing/batching, fake DSP. */
+  /** Decode a WAV (RIFF/PCM) binary to 16-bit samples via the JDK's
+    * javax.sound.sampled. Returns None for non-WAV/unsupported input. */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[Array[Short]] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16) return None
+      val raw = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  /** Windowed audio loudness (RMS). WAV/PCM decodes for REAL: RMS over
+    * `windowSamples` 16-bit samples. Non-WAV binaries fall back to the
+    * byte-energy STUB (marked by `decoded=false`). */
   def audioWindows(media: DataFrame, idCol: String, bytesCol: String,
-                   windowBytes: Int = 1024): DataFrame = {
+                   windowSamples: Int = 1024): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(idCol).cast("string"), col(bytesCol)).as[(String, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        bytes.grouped(windowBytes).zipWithIndex.map { case (wdw, i) =>
-          var e = 0.0
-          wdw.foreach(b => e += (b & 0xff) * (b & 0xff))
-          (id, i, math.sqrt(e / math.max(1, wdw.length)))
+        decodeWavPcm16(bytes) match {
+          case Some(samples) =>
+            samples.grouped(windowSamples).zipWithIndex.map { case (wdw, i) =>
+              var e = 0.0
+              wdw.foreach(s => e += s.toDouble * s)
+              (id, i, math.sqrt(e / math.max(1, wdw.length)), true)
+            }
+          case None => // STUB byte-energy fallback
+            bytes.grouped(windowSamples).zipWithIndex.map { case (wdw, i) =>
+              var e = 0.0
+              wdw.foreach(b => e += (b & 0xff) * (b & 0xff))
+              (id, i, math.sqrt(e / math.max(1, wdw.length)), false)
+            }
         }
-      }.toDF("media_id", "window_idx", "rms_energy")
+      }.toDF("media_id", "window_idx", "rms_energy", "decoded")
   }
 }

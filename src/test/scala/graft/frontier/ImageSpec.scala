@@ -89,13 +89,16 @@ class ImageSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("multimodal: frame sampling + audio windows plumbing") {
-    val images = ImageSynth.imagesTable(spark, 6)
-    val frames = Multimodal.sampleFrames(images, "image_id", "bytes").collect()
+  test("multimodal: non-decodable containers fall back to the labeled stub paths") {
+    // PNG bytes are neither MJPEG nor WAV: frame sampling and audio
+    // windowing must take the stub branches and mark them as such
+    val pngs = ImageSynth.imagesTable(spark, 6).filter(org.apache.spark.sql.functions.col("fmt") === "png")
+    val frames = Multimodal.sampleFrames(pngs, "image_id", "bytes").collect()
     assert(frames.nonEmpty)
-    assert(frames.forall(_.frame_bytes.length == 64))
-    val windows = Multimodal.audioWindows(images, "image_id", "bytes").collect()
+    assert(frames.forall(f => f.frame_bytes.length == 64 && f.w == -1 && f.h == -1))
+    val windows = Multimodal.audioWindows(pngs, "image_id", "bytes").collect()
     assert(windows.nonEmpty)
+    assert(windows.forall(!_.getAs[Boolean]("decoded")))
   }
 
   test("image near-dups: identical pixel function at same dims collide in phash") {
