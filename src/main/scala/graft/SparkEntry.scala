@@ -561,6 +561,26 @@ object SparkEntry {
         .toDF().select($"media_id", $"frame_idx", $"w", $"h")
         .orderBy($"media_id", $"frame_idx")
     }),
+    // ---- dedup clusters: near-dup pairs → connected components →
+    // keeper per cluster. Pairs staged; the oracle computes the true
+    // transitive closure with a recursive CTE and takes the min
+    // reachable id per node.
+    "q42_dedup_clusters" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      // corpus with real multi-doc clusters: each doc + two mutated
+      // copies; simhash at distance ≤3 pairs them (recall exactly 1)
+      val docs = t(dir, "documents").select($"doc_id", $"text")
+      val mut1 = docs.select(($"doc_id" + 1000000).as("doc_id"),
+        concat($"text", lit(" zzextra")).as("text"))
+      val mut2 = docs.select(($"doc_id" + 2000000).as("doc_id"),
+        concat($"text", lit(" zzextra more")).as("text"))
+      val pairs = Dedup.simhashPairs(docs.unionByName(mut1).unionByName(mut2),
+        "doc_id", "text", maxDist = 4)
+        .select($"id_a", $"id_b")
+      pairs.write.mode("overwrite").parquet(StageDir + "/q42_pairs.parquet")
+      Dedup.keepPerComponent(Dedup.connectedComponents(
+          sp.read.parquet(StageDir + "/q42_pairs.parquet")))
+        .orderBy($"id")
+    }),
     // ---- header parsing + decode over synthesized blocks ------------
     "q32_parse_headers" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       Functions.registerAll(sp)
@@ -886,6 +906,21 @@ object SparkEntry {
       """WITH m AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q41_meta.parquet/*.parquet')),
         |f AS (SELECT media_id, CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_idx FROM m)
         |SELECT media_id, frame_idx, 32 AS w, 24 AS h FROM f ORDER BY 1, 2""".stripMargin,
+    // ground-truth components: recursive transitive closure over the
+    // staged pairs, min reachable id per node
+    "q42_dedup_clusters" ->
+      """WITH RECURSIVE p AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q42_pairs.parquet/*.parquet')),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS id FROM e)
+        |SELECT n.id AS id,
+        |  least(n.id, min(r.b)) AS component,
+        |  n.id = least(n.id, min(r.b)) AS keep
+        |FROM nodes n JOIN reach r ON r.a = n.id
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
     "q34_batch_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

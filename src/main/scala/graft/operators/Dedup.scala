@@ -176,6 +176,64 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // Near-dup CLUSTERS: pairs → connected components → keeper choice
+  // ---------------------------------------------------------------
+
+  /** Connected components over an undirected pair list (id_a, id_b):
+    * returns (id, component) with component = min id reachable. Used to
+    * turn near-dup PAIRS into dedup CLUSTERS (keep min id per cluster,
+    * drop the rest).
+    *
+    * Algorithm: iterative min-label propagation — per round, every node
+    * takes the min label over itself and its neighbors (one shuffle on
+    * the node id per round), stopping early when a round changes no
+    * label (cheap `limit(1)` probe, not a full count). Rounds needed =
+    * graph diameter; LSH-verified near-dup clusters are clique-like
+    * (diameter ≤ 2-3), so this converges in 2-4 rounds at any corpus
+    * size. (For adversarially long path graphs the alternating
+    * large-star/small-star scheme — Kiveris et al., public — drops
+    * rounds to O(log n); not needed for dedup-shaped graphs.) */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist) per round: an iterative join grows
+    // the LOGICAL plan exponentially — the driver OOMs analyzing round
+    // 10's tree even on toy data; checkpointing truncates lineage so
+    // every round plans against a materialized leaf.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor labels: for edge (src,dst), src can take dst's label
+      val neighborMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("l"), "id")
+        .filter(col("n.component") =!= col("l.component"))
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Dedup decision per clustered doc: keep the min id per component. */
+  def keepPerComponent(components: DataFrame): DataFrame =
+    components.select(col("id"), col("component"),
+      (col("id") === col("component")).as("keep"))
+
+  // ---------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------
 

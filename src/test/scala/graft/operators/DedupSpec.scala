@@ -60,6 +60,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(acc.value >= 20, s"truncation accumulator not reporting (=${acc.value})")
   }
 
+  test("connectedComponents: chain, clique, and singletons-in-pairs resolve to min id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val keep = Dedup.keepPerComponent(Dedup.connectedComponents(pairs))
+      .filter(org.apache.spark.sql.functions.col("keep")).select("id")
+      .as[Long].collect().toSet
+    assert(keep == Set(1L, 10L, 20L))
+  }
+
   test("simhashPairs: mutated near-copies found, over-cap reported") {
     // simhash is a weighted bit-majority: one extra word flips only bits
     // whose vote margin is ≤1, so near-copy detection needs docs long
