@@ -344,7 +344,10 @@ object SparkEntry {
     // phash invariants live in ImageSpec — not SQL-computable)
     "q30_image_features" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val n = t(dir, "documents").count()
+      // persisted: the metadata staging and the decode pass would
+      // otherwise each re-render every image
       val images = graft.frontier.ImageSynth.imagesTable(sp, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       images.select($"image_id", $"w", $"h")
         .write.mode("overwrite").parquet(StageDir + "/q30_image_meta.parquet")
       Multimodal.imageFeatures(images).toDF()
