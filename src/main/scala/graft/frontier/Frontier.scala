@@ -207,24 +207,28 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     * per-wave cap (broadcast join of the tiny per-host delay table). */
   private def hostBudget(df: DataFrame): DataFrame = {
     val k = cfg.hostBudget
-    val withK = robots match {
+    // literal budget when no robots table: the per-host k_eff column is
+    // only materialized on the robots path, so the common path keeps
+    // its constant-folded filters
+    val (withK, kCol) = robots match {
       case Some(r) =>
         val delays = Robots.crawlDelays(r, cfg.agent)
           .select(col("host"),
             least(lit(k), greatest(lit(1),
               floor(lit(cfg.waveWindowSec) / col("crawl_delay")).cast("int"))).as("k_eff"))
-        df.join(broadcast(delays), Seq("host"), "left")
-          .withColumn("k_eff", coalesce(col("k_eff"), lit(k)))
-      case None => df.withColumn("k_eff", lit(k))
+        (df.join(broadcast(delays), Seq("host"), "left")
+          .withColumn("k_eff", coalesce(col("k_eff"), lit(k))), col("k_eff"))
+      case None => (df, lit(k))
     }
     val salted = withK.withColumn("salt", pmod(hash(col("surt_key")), lit(cfg.salt)))
     val w1 = Window.partitionBy(col("host"), col("salt"))
       .orderBy(col("priority"), col("surt_key"))
-    val local = salted.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= col("k_eff"))
+    val local = salted.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= kCol)
     val w2 = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
-    local.withColumn("rank_in_host", row_number().over(w2))
-      .filter(col("rank_in_host") <= col("k_eff"))
-      .drop("salt", "rn1", "k_eff")
+    val out = local.withColumn("rank_in_host", row_number().over(w2))
+      .filter(col("rank_in_host") <= kCol)
+      .drop("salt", "rn1")
+    if (robots.isDefined) out.drop("k_eff") else out
   }
 
   // ----------------------------------------------------------------
