@@ -9,7 +9,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.create(s"local[$cpus]")
+    val spark = GraftSession.create(s"local[$cpus]", benchMode = true)
 
     // warm the JVM/codegen on the small sf first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -50,21 +50,24 @@ object FrontierBench {
     * as they widen), so wave size scales with seed count instead of
     * saturating at a fixed politeness ceiling. */
   def run(spark: SparkSession, seeds: Int): FrontierBenchResult = {
-    val ck = java.nio.file.Files.createTempDirectory("graft-frontier-bench").toString
-    val cfg = graft.frontier.FrontierConfig(
-      checkpointDir = ck, hostBudget = 200, seenShards = 64,
-      outlinksPerUrl = 3, hostPool = math.max(2000, seeds / 500))
-    val f = new graft.frontier.Frontier(spark, cfg)
-    val seedDf = graft.frontier.Frontier
-      .syntheticSeeds(spark, seeds, hostPool = math.max(200, seeds / 2000))
-      .repartition(spark.sparkContext.defaultParallelism)
-    val t0 = System.nanoTime()
-    val r0 = f.initialize(seedDf)
-    val r1 = f.runWave()
-    val r2 = f.runWave()
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    FrontierBenchResult(r1.scheduled + r2.scheduled,
-      r0.deduped + r1.deduped + r2.deduped, elapsed)
+    val ck = Scratch.dir("frontier-bench")
+    try {
+      val cfg = graft.frontier.FrontierConfig(
+        checkpointDir = ck.toString, hostBudget = 200, seenShards = 64,
+        outlinksPerUrl = 3, hostPool = math.max(2000, seeds / 500),
+        fastMode = true)
+      val f = new graft.frontier.Frontier(spark, cfg)
+      val seedDf = graft.frontier.Frontier
+        .syntheticSeeds(spark, seeds, hostPool = math.max(200, seeds / 2000))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val t0 = System.nanoTime()
+      val r0 = f.initialize(seedDf)
+      val r1 = f.runWave()
+      val r2 = f.runWave()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      FrontierBenchResult(r1.scheduled + r2.scheduled,
+        r0.deduped + r1.deduped + r2.deduped, elapsed)
+    } finally Scratch.delete(ck) // a 8M-seed run leaves ~1.5 GB otherwise
   }
 }
 
@@ -93,7 +96,7 @@ object ScalingBench {
         // granularity identical across both measurements
         val sp = sys.env.getOrElse("GRAFT_SP", "32").toInt
         GraftSession.create(s"local-cluster[$n,$execCores,$memMb]",
-          shufflePartitions = sp, extraConf = Map(
+          shufflePartitions = sp, benchMode = true, extraConf = Map(
           "spark.executor.extraClassPath" -> classesDir,
           "spark.executor.memory" -> s"${memMb}m",
           // each executor JVM must see only ITS cores: otherwise GC/JIT
@@ -104,7 +107,7 @@ object ScalingBench {
           // short tasks: the default 3 s delay-scheduling wait idles
           // the other executors whenever the preferred one is busy
           "spark.locality.wait" -> "0"))
-      case None => GraftSession.create(s"local[$cores]")
+      case None => GraftSession.create(s"local[$cores]", benchMode = true)
     }
     // warm-up (JIT/codegen) — in chunk mode the phase timer starts
     // after this, so chunked and unchunked elapsed are comparable
@@ -121,7 +124,7 @@ object ScalingBench {
         val phase = phaseOpt.get
         val cfg = graft.frontier.FrontierConfig(checkpointDir = ck,
           hostBudget = 200, seenShards = 64, outlinksPerUrl = 3,
-          hostPool = math.max(2000, seeds / 500))
+          hostPool = math.max(2000, seeds / 500), fastMode = true)
         val f = new graft.frontier.Frontier(spark, cfg)
         val t0 = System.nanoTime()
         val r =

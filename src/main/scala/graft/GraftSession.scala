@@ -8,7 +8,14 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def create(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
              shufflePartitions: Int = -1,
-             extraConf: Map[String, String] = Map.empty): SparkSession = {
+             extraConf: Map[String, String] = Map.empty,
+             /** Bench/scaling loops opt into the v2 file committer
+               * (task-side renames, no _SUCCESS): it removes a
+               * driver-serial O(files) commit per write job, but v2 can
+               * leave partial output when a task dies mid-rename — fine
+               * for throwaway bench scratch, NOT a default any
+               * production entry point should inherit. */
+             benchMode: Boolean = sys.env.get("GRAFT_BENCH").contains("1")): SparkSession = {
     val cores = "local\\[(\\d+)\\]".r.findFirstMatchIn(master).map(_.group(1).toInt)
       .orElse("local-cluster\\[(\\d+),(\\d+),\\d+\\]".r.findFirstMatchIn(master)
         .map(m => m.group(1).toInt * m.group(2).toInt))
@@ -30,12 +37,16 @@ object GraftSession {
       // stage onto one task no matter how many cores the session has.
       // On a cluster the same inputs span many HDFS/S3 blocks natively.
       .config("spark.sql.files.maxPartitionBytes", "16m")
-      // commit renames inside tasks (v2), not serially on the driver
-      // after every write job — the checkpoint-per-wave layout writes
-      // often, and a driver-side O(files) commit is a fixed cost that
-      // would cap strong scaling no matter the executor count
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // bench-only: commit renames inside tasks (v2), not serially on
+      // the driver after every write job — the checkpoint-per-wave
+      // layout writes often, and a driver-side O(files) commit is a
+      // fixed cost that would cap strong scaling no matter the
+      // executor count. Gated because v2 risks partial output on
+      // mid-commit task failure (see `benchMode`).
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        if (benchMode) "2" else "1")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+        (!benchMode).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // NOTE: spark.driver.memory cannot be set here — in local mode the

@@ -322,7 +322,9 @@ object SparkEntry {
     // ordering in SQL — so the two-phase salted top-K must equal the
     // plain per-host window it optimizes.
     "q29_frontier_wave" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
-      val ck = java.nio.file.Files.createTempDirectory("graft-frontier-q29").toString
+      // Scratch: deleted at JVM exit (the returned DataFrame lazily
+      // reads this checkpoint, so it must outlive the query)
+      val ck = Scratch.dir("frontier-q29").toString
       val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, hostBudget = 5, seenShards = 16)
       val f = new graft.frontier.Frontier(sp, cfg)
       val n = t(dir, "documents").count().toInt.max(100)
@@ -373,7 +375,7 @@ object SparkEntry {
     "q33_stream_window" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val schema = sp.read.parquet(s"$dir/events.parquet").schema
       // the file-stream source wants a directory: stage the table file
-      val stage = java.nio.file.Files.createTempDirectory("q33-events")
+      val stage = Scratch.dir("q33-events")
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
         stage.resolve("events.parquet"))
       val stream = sp.readStream.schema(schema).parquet(stage.toString)
@@ -398,7 +400,7 @@ object SparkEntry {
     "q35_frontier_from_images" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val n = t(dir, "documents").count()
       val images = graft.frontier.ImageSynth.imagesTable(sp, n)
-      val ck = java.nio.file.Files.createTempDirectory("graft-frontier-q35").toString
+      val ck = Scratch.dir("frontier-q35").toString
       val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, hostBudget = 3, seenShards = 8)
       val f = new graft.frontier.Frontier(sp, cfg)
       f.initialize(graft.frontier.Frontier.seedsFromImages(images))

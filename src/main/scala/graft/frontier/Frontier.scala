@@ -50,7 +50,11 @@ final case class FrontierConfig(
     hostPool: Int = 200, // synthetic outlink host universe
     seed: Long = 42L,
     agent: String = "graft", // user-agent for robots group selection
-    waveWindowSec: Int = 60 // politeness window a wave's budget paces over
+    waveWindowSec: Int = 60, // politeness window a wave's budget paces over
+    /** bench mode: skip observability-only jobs (sorted user-facing
+      * write, per-partition metrics, state count reports) — semantics
+      * unchanged. Defaults from the GRAFT_BENCH env for CLI runs. */
+    fastMode: Boolean = sys.env.get("GRAFT_BENCH").contains("1")
 )
 
 final case class WaveResult(
@@ -337,9 +341,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val wave = prev + 1
     val t0 = System.nanoTime()
     val debug = sys.env.get("GRAFT_DEBUG").contains("1")
-    // bench mode: skip observability-only jobs (sorted user-facing write,
-    // per-partition metrics, state count reports) — semantics unchanged
-    val fast = sys.env.get("GRAFT_BENCH").contains("1")
+    val fast = cfg.fastMode
     var tPhase = t0
     def phase(name: String): Unit = if (debug) {
       val now = System.nanoTime()

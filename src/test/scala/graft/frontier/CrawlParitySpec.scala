@@ -11,7 +11,7 @@ class CrawlParitySpec extends AnyFunSuite with SparkTestBase {
 
   test("distributed schedule == sequential reference schedule, 3 waves") {
     val cfg = FrontierConfig(
-      checkpointDir = Files.createTempDirectory("crawl-parity").toString,
+      checkpointDir = graft.Scratch.dir("crawl-parity").toString,
       hostBudget = 4, seenShards = 8, outlinksPerUrl = 3, hostPool = 60)
 
     // identical seed list on both sides
@@ -48,7 +48,7 @@ class WarcSinkSpec extends AnyFunSuite with SparkTestBase {
   test("distributed WARC sink: write then rescan round-trips records") {
     import graft.sources.{WarcScan, WarcSink}
     val src = WarcScan.warcRecords(spark, Seq(fixturePath("example.warc.gz")))
-    val outDir = Files.createTempDirectory("warcsink").toString
+    val outDir = graft.Scratch.dir("warcsink").toString
     WarcSink.write(src.repartition(2), outDir)
     val files = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".warc.gz"))
     assert(files.nonEmpty)

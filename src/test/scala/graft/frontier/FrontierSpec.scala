@@ -79,7 +79,7 @@ class SeenFilterSpec extends AnyFunSuite {
 class FrontierSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmpDir(name: String): String = {
-    val p = Files.createTempDirectory(s"frontier-$name")
+    val p = graft.Scratch.dir(s"frontier-$name")
     p.toString
   }
 

@@ -44,7 +44,7 @@ class WarcDataSourceSpec extends AnyFunSuite with SparkTestBase {
 
   test("range splits: oversized .warc.gz scanned by many tasks, byte-exact offsets") {
     import graft.core.WarcWriter
-    val dir = java.nio.file.Files.createTempDirectory("warcsplit")
+    val dir = graft.Scratch.dir("warcsplit")
     val bytes = (0 until 120).map { i =>
       val payload = (s"doc $i " + "z" * 800).getBytes("UTF-8")
       val r = WarcWriter.create(url = s"https://ex.org/p/$i", date = "2020-01-01T00:00:00Z",
@@ -79,7 +79,7 @@ class WarcDataSourceSpec extends AnyFunSuite with SparkTestBase {
 
 class LenientScanSpec extends org.scalatest.funsuite.AnyFunSuite with graft.SparkTestBase {
   test("lenient scan skips a corrupt file instead of failing the job") {
-    val dir = java.nio.file.Files.createTempDirectory("lenient")
+    val dir = graft.Scratch.dir("lenient")
     val good = java.nio.file.Paths.get(fixturePath("example.warc.gz"))
     java.nio.file.Files.copy(good, dir.resolve("good.warc.gz"))
     // truncated gzip: invalid member

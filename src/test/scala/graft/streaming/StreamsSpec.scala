@@ -58,7 +58,7 @@ class StreamsSpec extends AnyFunSuite with SparkTestBase {
     import sp.implicits._
     // stage: batch-scan a fixture into parquet WarcRow dir, then stream it
     val rows = graft.sources.WarcScan.warcRecords(spark, Seq(fixturePath("example.warc.gz")))
-    val dir = java.nio.file.Files.createTempDirectory("warcstream").toString
+    val dir = graft.Scratch.dir("warcstream").toString
     rows.write.mode("overwrite").parquet(dir)
     val streamed = Streams.runAvailableNow(Streams.streamingCdx(spark, dir), "cdx_stream")
       .select("urlkey", "timestamp", "offset", "length")

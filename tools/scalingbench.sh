@@ -9,6 +9,13 @@
 # N->4N scaling. Set GRAFT_APC=0 to disable (report both).
 set -e
 cd "$(dirname "$0")/.."
+# fail fast on a nearly-full disk: a run that ENOSPCs mid-write leaves
+# partial state and (historically) killed the round's driver artifacts
+AVAIL_KB=$(df -kP /tmp | awk 'NR==2 {print $4}')
+if [ "${AVAIL_KB:-0}" -lt 20971520 ]; then
+  echo "scalingbench: <20 GB free on /tmp (${AVAIL_KB} KB) — aborting" >&2
+  exit 1
+fi
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 APC_FLAG="-XX:ActiveProcessorCount=${GRAFT_APC:-$1}"
 if [ "${GRAFT_APC:-}" = "0" ]; then APC_FLAG="-XX:-UseContainerSupport"; APC_FLAG=""; fi
