@@ -84,6 +84,57 @@ class RobotsSpec extends AnyFunSuite with SparkTestBase {
       ("c.org", "/private/q"))) // graft group ignores * Disallow /private
   }
 
+  test("matchLen: wildcard + anchor needs backtracking (greedy-leftmost bug)") {
+    // greedy leftmost binds ".php" at index 2 and fails the anchor;
+    // the valid end alignment must still match
+    assert(matchLen("/*.php$", "/x.php.php") == 7)
+    assert(matchLen("/*a*b$", "/xaxaxb") == 6)
+    assert(matchLen("/*a*b$", "/xaxaxbc") == -1)
+    // anchored without wildcard = exact match
+    assert(matchLen("/exact$", "/exact") == 7)
+    assert(matchLen("/exact$", "/exact/x") == -1)
+  }
+
+  test("parse: duplicate groups for the same agent merge (RFC 9309 combining)") {
+    val dup =
+      """User-agent: *
+        |Disallow: /a
+        |Crawl-delay: 3
+        |
+        |User-agent: *
+        |Disallow: /b
+        |Crawl-delay: 9
+        |""".stripMargin
+    val sets = parse(dup)
+    assert(sets.count(_.agent == "*") == 1)
+    val star = sets.find(_.agent == "*").get
+    assert(star.rules == Seq(Rule(false, "/a"), Rule(false, "/b")))
+    assert(star.crawlDelay.contains(3.0)) // first defined wins
+    // the second block's rules must actually gate
+    assert(!isAllowed(star.rules, "/b/x"))
+  }
+
+  test("applyRobots is executor-side: join in the plan, no driver collect, 100k hosts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val n = 100000
+    val robots = spark.range(n)
+      .select(concat(lit("h"), $"id", lit(".org")).as("host"),
+        concat(lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+          lit("User-agent: *\nDisallow: /blocked\n")).as("robots_txt"))
+    val urls = spark.range(n)
+      .select(concat(lit("h"), $"id", lit(".org")).as("host"),
+        when($"id" % 4 === 0, "/private/x")
+          .when($"id" % 4 === 1, "/private/ok/y")
+          .when($"id" % 4 === 2, "/blocked/z") // merged 2nd group must gate
+          .otherwise("/pub").as("path"))
+    val gated = Robots.applyRobots(urls, robots, "host", "path")
+    // plan shape: a real join (broadcast or shuffle), nothing collected
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("join"), s"no join in plan:\n$plan")
+    assert(gated.count() == n / 2) // only /private/ok and /pub survive
+  }
+
   test("crawlDelays extraction") {
     import spark.implicits._
     val robots = Seq(("a.org", txt), ("b.org", "User-agent: *\nDisallow: /x")).toDF("host", "robots_txt")
