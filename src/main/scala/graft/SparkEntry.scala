@@ -357,9 +357,10 @@ object SparkEntry {
         .orderBy($"image_id")
     }),
     // ---- multimodal: perceptual-hash near-dup over images. The phash
-    // table is staged; pigeonhole banding at maxDist 2 has recall
-    // exactly 1, so the oracle's all-pairs hamming join over the staged
-    // copy must equal the bucketed pipeline's output.
+    // table is staged; pigeonhole banding (chunks = maxDist+1) has
+    // recall exactly 1 at ANY maxDist, so the oracle's all-pairs
+    // hamming join over the staged copy must equal the bucketed
+    // pipeline's output — checked at the operator's DEFAULT maxDist=6.
     "q31_image_neardup" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val n = t(dir, "documents").count()
       val images = sp.range(n).map(i =>
@@ -368,7 +369,7 @@ object SparkEntry {
         .filter($"decode_ok").select($"image_id", $"phash")
       ph.write.mode("overwrite").parquet(StageDir + "/q31_phash.parquet")
       Multimodal.imageNearDupsFromHashes(
-          sp.read.parquet(StageDir + "/q31_phash.parquet"), maxDist = 2)
+          sp.read.parquet(StageDir + "/q31_phash.parquet"), maxDist = 6)
         .orderBy($"id_a", $"id_b")
     }),
     // ---- streaming: watermarked windowed agg over events (AvailableNow)
@@ -875,7 +876,7 @@ object SparkEntry {
         |SELECT a.image_id AS id_a, b.image_id AS id_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM d a JOIN d b ON a.image_id < b.image_id
-        |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 6
         |ORDER BY 1, 2""".stripMargin,
     "q35_frontier_from_images" ->
       """WITH p AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q35_pending.parquet/*.parquet')),

@@ -85,17 +85,25 @@ object Multimodal {
 
   /** Pair generation over a precomputed `(image_id, phash)` table —
     * exposed so the pigeonhole bucket join can be oracle-checked over a
-    * staged copy (recall is exactly 1 for hamming ≤ maxDist ≤ 3 with 4
-    * chunks, so the output equals the all-pairs hamming join). */
+    * staged copy. `chunks = maxDist + 1` (same formula as
+    * `Dedup.simhashPairsFromHashes`): ≤ maxDist differing bits cannot
+    * touch all maxDist+1 chunks, so ≥1 chunk agrees exactly and recall
+    * is EXACTLY 1 at any maxDist — the output equals the all-pairs
+    * hamming join. (With 64/chunks rounded down some top bits go
+    * uncovered; harmless — differences there only reduce the number of
+    * disagreeing chunks, and the full 64-bit hamming is verified per
+    * candidate pair.) */
   def imageNearDupsFromHashes(feats: DataFrame, maxDist: Int = 6, maxBucket: Int = 1000,
                               truncAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    val chunks = 4
+    require(maxDist >= 0 && maxDist < 32, s"maxDist=$maxDist out of range [0,31]")
+    val chunks = maxDist + 1
+    val bits = 64 / chunks
     val spark = feats.sparkSession
     val acc = truncAcc.getOrElse(
       spark.sparkContext.longAccumulator("graft.multimodal.phash.truncated_docs"))
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
-        col("phash").bitwiseAND(lit(0xffffL << (c * 16))).as("ck"))
+        col("phash").bitwiseAND(lit(((1L << bits) - 1) << (c * bits))).as("ck"))
     }
     val exploded = feats
       .withColumn("k", explode(array(chunkCols: _*)))

@@ -112,4 +112,31 @@ class ImageSpec extends AnyFunSuite with SparkTestBase {
     val dups = Multimodal.imageNearDups(df, maxDist = 0).collect()
     assert(dups.exists(r => r.getAs[String]("id_a") == "dup0" && r.getAs[String]("id_b") == "dup1"))
   }
+
+  test("phash pigeonhole recall is exactly 1 at the DEFAULT maxDist = 6") {
+    // r2 verdict: the old 4-chunk layout broke the guarantee above
+    // distance 3 — chunks = maxDist+1 must equal all-pairs hamming
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 200).map(i => (f"b$i%04d", rnd.nextLong()))
+    val mutated = base.zipWithIndex.map { case ((_, h), i) =>
+      val d = 1 + i % 8 // distances 1..8 straddle the threshold
+      var m = h
+      rnd.shuffle((0 until 64).toList).take(d).foreach(b => m ^= (1L << b))
+      (f"m$i%04d", m)
+    }
+    val all = base ++ mutated
+    val got = Multimodal.imageNearDupsFromHashes(all.toDF("image_id", "phash")).collect()
+      .map(r => (r.getAs[String]("id_a"), r.getAs[String]("id_b"), r.getAs[Int]("hamming"))).toSet
+    val exp = (for {
+      i <- all.indices
+      j <- (i + 1) until all.length
+      d = java.lang.Long.bitCount(all(i)._2 ^ all(j)._2)
+      if d <= 6
+    } yield {
+      val (a, b) = if (all(i)._1 < all(j)._1) (all(i)._1, all(j)._1) else (all(j)._1, all(i)._1)
+      (a, b, d)
+    }).toSet
+    assert(got == exp, s"got ${got.size} pairs, expected ${exp.size}")
+  }
 }
