@@ -12,12 +12,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *   candidates (pending ∪ discovered)
   *     → canonicalize (WHATWG normalize) → SURT key → host
   *     → in-batch dedup (groupBy surt, deterministic min)
-  *     → seen-set subtraction: partitioned cuckoo/bloom shard PREFILTER
-  *       (candidates cogroup with their shard's filter chain executor-
-  *       side; the driver holds no filter state) + exact anti-join on
-  *       survivors — approximate filters can never drop a URL
-  *       incorrectly, they only shrink the join
-  *     → robots filter (broadcast rules)
+  *     → seen-set subtraction: candidates shuffle by shard id ONLY;
+  *       each task loads its shard's state file (cuckoo/bloom chain +
+  *       exact 64-bit hash runs) directly from storage and decides
+  *       membership in-task — no anti-join against the seen store, no
+  *       shard state in the shuffle, no filter state on the driver
+  *     → robots filter (executor-side rule join)
   *     → per-host politeness budget: two-phase top-K (salted local top-K
   *       then host-level top-K) so one hot host cannot skew a partition
   *     → scheduled wave, committed with an atomic manifest; seen +
@@ -32,10 +32,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *
   * Scale notes (10^10 URLs): seen shards are hash-partitioned by
   * `pmod(hash(surt), shards)`; at 10^10 keys and 4096 shards each shard
-  * holds ~2.4M fingerprints (~10 MB cuckoo) — executors hold only probed
-  * shards. The exact anti-join shuffles only filter-positive candidates
-  * (~FP-rate of the batch). Hot hosts are bounded by the salt phase
-  * before any host-level shuffle.
+  * holds ~2.4M fingerprints (~10 MB cuckoo) + ~20 MB of exact hash
+  * runs — a task reads only the shards its candidates probe. Per-wave
+  * seen-subtraction cost: shuffle O(candidates); storage read
+  * O(probed shards); state write O(shards touched by fresh keys). Hot
+  * hosts are bounded by the salt phase before any host-level shuffle.
   */
 final case class FrontierConfig(
     checkpointDir: String,
@@ -94,87 +95,215 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       .filter(col("host").isNotNull && col("surt_key").isNotNull)
 
   // ----------------------------------------------------------------
-  // Seen-set shards
+  // Seen-set shards — per-shard state FILES + a tiny per-wave index
   // ----------------------------------------------------------------
+  // Shard state = (cuckoo/bloom filter chain, exact 64-bit hash runs),
+  // serialized as ONE binary file per shard under
+  // `shards/wave=<written>/shard-<id>.bin`. The task that probes or
+  // updates shard s reads that file DIRECTLY from storage — shard
+  // state never rides a shuffle (r2's cogroup exchanged ~10 B/key of
+  // shard blobs per wave; at 10^10 keys that is ~100 GB of shuffle a
+  // wave no longer pays). A per-wave INDEX file (seenShards ints)
+  // records which wave last wrote each shard, so only TOUCHED shards
+  // are rewritten — O(fresh) maintenance and O(changed shards) write
+  // amplification per wave. Files superseded by a committed wave are
+  // pruned post-commit (crash before prune leaves harmless garbage).
 
-  /** Incrementally maintained filter-shard chains: each wave inserts
-    * only the NEW keys into its shard's chain — O(fresh) maintenance,
-    * not O(seen) (SeenFilter.updateShardChainHashes appends a blob on
-    * overflow). Cogroup, not collect_list: a hot wave's keys STREAM
-    * through the insert loop instead of riding one giant array row
-    * through the shuffle. `prevShards` may be empty (wave 0). */
-  private def updateShards(prevShards: DataFrame, newKeys: DataFrame): DataFrame = {
-    val n = cfg.seenShards
-    val keysByShard = newKeys.select(col("surt_key")).as[String]
-      .groupByKey(k => java.lang.Math.floorMod(SeenFilter.hashKey(k), n.toLong).toInt)
-    val prevByShard = prevShards.as[(Int, Seq[Array[Byte]])].groupByKey(_._1)
-    keysByShard.cogroup(prevByShard) { (shard, ks, ps) =>
-      val prev = ps.flatMap(_._2).toSeq
-      Iterator.single(
-        (shard, SeenFilter.updateShardChainHashes(prev, ks.map(SeenFilter.hashKey))))
-    }.toDF("shard", "filters")
+  private def indexFilePath(wave: Int): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(cfg.checkpointDir, s"shards/wave=$wave/INDEX.txt")
+
+  /** shard id → wave whose dir holds that shard's latest state file. */
+  private def readIndex(wave: Int): Map[Int, Int] = {
+    val p = indexFilePath(wave)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) return Map.empty
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(f.open(p), "UTF-8"))
+    try {
+      val n = in.readLine().trim.toInt
+      require(n == cfg.seenShards,
+        s"checkpoint has $n seen shards but config says ${cfg.seenShards}")
+      Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty)
+        .map { l => val a = l.trim.split(" "); a(0).toInt -> a(1).toInt }
+        .toMap
+    } finally in.close()
   }
 
-  /** Union of per-wave seen DELTAS for waves 0..wave. Seen state is
-    * stored as deltas — each wave persists ONLY its fresh keys — so
-    * per-wave seen maintenance writes O(fresh), not O(total seen) (at
-    * 10^10 URLs a full rewrite would move ~1 TB of key strings every
-    * wave). The explicit schema skips footer sampling, so an
-    * uncommitted (crashed) later wave's partial files are never
-    * touched: partition pruning on `wave` drops them at planning. */
+  private def writeIndex(wave: Int, idx: Map[Int, Int]): Unit = {
+    val p = indexFilePath(wave)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val sb = new StringBuilder
+    sb.append(cfg.seenShards).append('\n')
+    idx.foreach { case (s, w) => sb.append(s).append(' ').append(w).append('\n') }
+    val out = f.create(p, true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Insert this wave's fresh keys into their shards: one shuffle of
+    * the KEYS (grouped by shard id); each group's task loads the
+    * previous shard file, appends to the cuckoo chain + exact runs,
+    * and writes the new file under `wave` (idempotent deterministic
+    * overwrite — the manifest gates visibility, so task retries and
+    * wave re-runs are safe). Returns the updated shard ids (≤
+    * seenShards ints to the driver — accounting, not state). */
+  private def updateShardFiles(prevIdx: Map[Int, Int], newKeys: DataFrame, wave: Int): Seq[Int] = {
+    val n = cfg.seenShards
+    val ckDir = cfg.checkpointDir
+    val prevIdxB = spark.sparkContext.broadcast(prevIdx)
+    import spark.implicits._
+    newKeys.select(col("surt_key")).as[String]
+      .groupByKey(k => java.lang.Math.floorMod(SeenFilter.hashKey(k), n.toLong).toInt)
+      .flatMapGroups { (shard, keys) =>
+        val prev = Frontier.loadShardState(ckDir, prevIdxB.value.get(shard), shard)
+        val hashes = keys.map(SeenFilter.hashKey).toArray
+        // chain insert first (consumes an iterator over the unsorted
+        // array), THEN the exact runs (which sort the array in place)
+        val filters = SeenFilter.updateShardChainHashes(prev.filters, hashes.iterator)
+        val exact = SeenFilter.updateExactRuns(prev.exact, hashes)
+        Frontier.storeShardState(ckDir, wave, shard, SeenFilter.ShardState(filters, exact))
+        Iterator.single(shard)
+      }.collect().toSeq
+  }
+
+  /** GC shard files with a ONE-WAVE LAG: at commit of wave N, delete
+    * files superseded as of index(N-1) — i.e. unreferenced by BOTH
+    * index(N) and index(N-1). The lag keeps a re-run of wave N (after
+    * an uncommitted crash OR a hand-deleted manifest) fully
+    * resolvable from index(N-1). O(changed) deletes per wave; every
+    * superseded file is reclaimed exactly one wave later; a crash
+    * mid-prune leaves only unreferenced garbage. */
+  private def pruneSupersededShardFiles(wave: Int): Unit = {
+    if (wave < 2) return
+    val a = readIndex(wave - 1)
+    val b = readIndex(wave - 2)
+    val conf = spark.sessionState.newHadoopConf()
+    for ((s, wA) <- a if wA == wave - 1; wB <- b.get(s) if wB < wA) {
+      val p = Frontier.shardFilePath(cfg.checkpointDir, wB, s)
+      try { p.getFileSystem(conf).delete(p, false); () } catch { case _: Exception => }
+    }
+  }
+
+  /** Compacted base (`seen_base/upto=B`) + per-wave seen DELTAS for
+    * waves in (B, wave]. Seen state is stored as deltas — each wave
+    * persists ONLY its fresh keys — so per-wave seen maintenance
+    * writes O(fresh), not O(total seen) (at 10^10 URLs a full rewrite
+    * would move ~1 TB of key strings every wave). Paths are
+    * enumerated explicitly, so an uncommitted (crashed) later wave's
+    * partial files — and any delta dir already folded into the base —
+    * are never read. */
   private def seenUpTo(wave: Int): DataFrame = {
     import org.apache.spark.sql.types.{StructType, StructField, StringType}
-    spark.read.schema(StructType(Seq(StructField("surt_key", StringType))))
-      .parquet(dir("seen"))
-      .where(col("wave") <= wave)
-      .select("surt_key")
+    val schema = StructType(Seq(StructField("surt_key", StringType)))
+    val base = latestSeenBase(wave)
+    val b = base.getOrElse(-1)
+    val paths = base.map(bb => dir("seen_base", s"upto=$bb")).toSeq ++
+      seenDeltaWaves().filter(w => w > b && w <= wave).sorted.map(w => dir("seen", s"wave=$w"))
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*).select("surt_key")
   }
 
-  private def emptyShards(): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("shard", IntegerType),
-        StructField("filters", ArrayType(BinaryType)))))
+  /** Committed delta-dir wave numbers present on disk. */
+  private def seenDeltaWaves(): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(cfg.checkpointDir, "seen")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq
+      .flatMap(st => st.getPath.getName.stripPrefix("wave=").toIntOption.filter(_ =>
+        st.getPath.getName.startsWith("wave=")))
   }
 
-  /** Split candidates into definitely-new vs maybe-seen, then
-    * exact-anti-join only the maybe side (approximate filters can never
-    * drop a URL — they only shrink the exact join's probe side).
+  /** Largest published compaction base ≤ wave, if any. */
+  private def latestSeenBase(wave: Int): Option[Int] = {
+    val d = Paths.get(cfg.checkpointDir)
+    if (!Files.exists(d)) return None
+    val re = "SEEN_BASE-(\\d+)\\.json".r
+    var best = -1
+    val it = Files.list(d).iterator()
+    while (it.hasNext) {
+      it.next().getFileName.toString match {
+        case re(n) if n.toInt <= wave => best = math.max(best, n.toInt)
+        case _                       =>
+      }
+    }
+    if (best < 0) None else Some(best)
+  }
+
+  /** Compact seen string deltas: fold waves ≤ `upTo` (which must be
+    * committed) into one base dir, publish it with an atomic marker,
+    * then GC the folded delta dirs and the superseded base. Readers
+    * enumerate (base, deltas > base) explicitly, so a crash anywhere
+    * in the GC leaves only unread garbage — never a duplicate or a
+    * dangling reference — and a resumed wave > `upTo` still rewrites
+    * only its own delta (exactly-once semantics untouched). Run every
+    * K waves so `seenUpTo` unions O(K) dirs instead of O(waves) —
+    * a 10^4-wave crawl otherwise pays 10^4-dir listing+planning per
+    * observability read. */
+  def compactSeen(upTo: Int): Unit = {
+    require(upTo <= latestCommittedWave(), s"wave $upTo not committed yet")
+    val prevBase = latestSeenBase(upTo)
+    if (prevBase.contains(upTo)) return // already compacted to here
+    seenUpTo(upTo).write.mode("overwrite").parquet(dir("seen_base", s"upto=$upTo"))
+    val tmp = Paths.get(dir(s".SEEN_BASE-$upTo.tmp"))
+    Files.writeString(tmp, s"""{"upto":$upTo}""")
+    Files.move(tmp, Paths.get(dir(s"SEEN_BASE-$upTo.json")),
+      StandardCopyOption.ATOMIC_MOVE)
+    // GC (failures harmless; read path already ignores all of these)
+    val conf = spark.sessionState.newHadoopConf()
+    def rm(path: String): Unit =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, true); ()
+      } catch { case _: Exception => }
+    prevBase.foreach { b =>
+      try Files.deleteIfExists(Paths.get(dir(s"SEEN_BASE-$b.json")))
+      catch { case _: Exception => }
+      rm(dir("seen_base", s"upto=$b"))
+    }
+    seenDeltaWaves().filter(_ <= upTo).foreach(w => rm(dir("seen", s"wave=$w")))
+  }
+
+  /** Drop already-seen candidates. ONE shuffle of the candidates
+    * (grouped by shard id); each group's task loads its shard's state
+    * file directly and decides membership IN-TASK: the cuckoo/bloom
+    * chain prefilters (O(1) per key, mostly-negative), and only filter
+    * hits binary-search the exact hash runs. No anti-join against the
+    * seen store exists any more — a wave's seen-subtraction shuffle is
+    * O(candidates) at ANY seen-set size (r2 shuffled the full
+    * 10^10-key seen store through a SortMergeJoin every wave). The
+    * driver holds no filter state; per-task memory is O(seen/shards)
+    * (~30 MB/shard at 10^10 keys / 4096 shards).
     *
-    * EXECUTOR-SIDE probe: candidates and filter shards cogroup on shard
-    * id, so each task parses only its own shard's chain and streams its
-    * candidates through it. The driver holds NO filter state and the
-    * full filter set is never broadcast — per-task memory is
-    * O(seen/shards) at ANY seen-set size (at 10^10 URLs / 4096 shards
-    * that is ~6 MB of cuckoo tables per task, vs a ~25 GB driver
-    * collect+broadcast per wave in the naive design). */
-  private def subtractSeen(cands: DataFrame, seen: DataFrame, shards: DataFrame): DataFrame = {
+    * Exactness: membership = 64-bit hash equality (see SeenFilter's
+    * exact-runs note: ~5e-10 false-drop probability per candidate at
+    * 10^10 seen keys, and a false drop only skips one fetch). */
+  private def subtractSeen(cands: DataFrame, prevIdx: Map[Int, Int]): DataFrame = {
     val n = cfg.seenShards
+    val ckDir = cfg.checkpointDir
+    val idxB = spark.sparkContext.broadcast(prevIdx)
     val candT = cands
       .select(col("surt_key"), col("canonical_url"), col("host"),
         col("priority").cast("int"))
       .as[(String, String, String, Int)]
-    val candByShard = candT.groupByKey(c =>
-      java.lang.Math.floorMod(SeenFilter.hashKey(c._1), n.toLong).toInt)
-    val shardByShard = shards.as[(Int, Seq[Array[Byte]])].groupByKey(_._1)
-    val flagged = candByShard.cogroup(shardByShard) { (_, cs, ss) =>
-      val probes = ss.flatMap(_._2).map(SeenFilter.parse).toArray
-      if (probes.isEmpty) cs.map(c => (c._1, c._2, c._3, c._4, false))
-      else cs.map { c =>
-        val h = SeenFilter.hashKey(c._1)
-        var maybe = false
-        var i = 0
-        while (!maybe && i < probes.length) {
-          maybe = probes(i).mightContainHash(h); i += 1
+    candT.groupByKey(c =>
+        java.lang.Math.floorMod(SeenFilter.hashKey(c._1), n.toLong).toInt)
+      .flatMapGroups { (shard, cs) =>
+        val st = Frontier.loadShardState(ckDir, idxB.value.get(shard), shard)
+        if (st.isEmpty) cs
+        else {
+          val probes = st.filters.map(SeenFilter.parse).toArray
+          lazy val exact = SeenFilter.parseExact(st.exact)
+          cs.filter { c =>
+            val h = SeenFilter.hashKey(c._1)
+            var maybe = false
+            var i = 0
+            while (!maybe && i < probes.length) {
+              maybe = probes(i).mightContainHash(h); i += 1
+            }
+            !maybe || !exact.contains(h)
+          }
         }
-        (c._1, c._2, c._3, c._4, maybe)
-      }
-    }.toDF("surt_key", "canonical_url", "host", "priority", "maybe_seen")
-    // the cogroup exchange is planned once and reused across both branches
-    val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
-    val maybe = flagged.filter(col("maybe_seen")).drop("maybe_seen")
-    val verified = maybe.join(seen.select("surt_key"), Seq("surt_key"), "left_anti")
-    definitelyNew.unionByName(verified)
+      }.toDF("surt_key", "canonical_url", "host", "priority")
   }
 
   // ----------------------------------------------------------------
@@ -325,8 +454,8 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     spark.read.parquet(dir("frontier", "wave=0")).select("surt_key")
       .write.mode("overwrite").parquet(dir("seen", "wave=0"))
     phase("seen write")
-    updateShards(emptyShards(), spark.read.parquet(dir("seen", "wave=0")))
-      .write.mode("overwrite").parquet(dir("shards", "wave=0"))
+    val updated = updateShardFiles(Map.empty, spark.read.parquet(dir("seen", "wave=0")), 0)
+    writeIndex(0, updated.map(_ -> 0).toMap)
     phase("shards build")
     val n = obs.get("n").asInstanceOf[Long]
     val res = WaveResult(0, n, n, n, n, 0, n, n, (System.nanoTime() - t0) / 1e9)
@@ -350,8 +479,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     }
 
     val pending = spark.read.parquet(dir("frontier", s"wave=$prev"))
-    val seen = seenUpTo(prev)
-    val shards = spark.read.parquet(dir("shards", s"wave=$prev"))
+    val prevIdx = readIndex(prev)
 
     // 1. schedule from pending under politeness budget
     val allowed = applyRobots(pending)
@@ -382,11 +510,11 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       .agg(min("priority").as("priority"),
         min("canonical_url").as("canonical_url"), min("host").as("host"))
 
-    // 3. seen-set subtraction (cuckoo/bloom prefilter + exact anti-join).
-    // `fresh` feeds BOTH state updates below — persist so the discovery
-    // + subtraction DAG runs once, not three times.
+    // 3. seen-set subtraction (in-task shard-file probe: cuckoo chain
+    // prefilter + exact hash runs). `fresh` feeds BOTH state updates
+    // below — persist so the discovery + subtraction DAG runs once.
     val fresh = subtractSeen(
-      candNorm.select("surt_key", "canonical_url", "host", "priority"), seen, shards)
+      candNorm.select("surt_key", "canonical_url", "host", "priority"), prevIdx)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nFresh = fresh.count()
     phase("discover+subtract")
@@ -411,8 +539,8 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     phase("seen delta write")
 
     // incremental shard maintenance: insert only this wave's fresh keys
-    updateShards(shards, fresh.select("surt_key"))
-      .write.mode("overwrite").parquet(dir("shards", s"wave=$wave"))
+    val updatedShards = updateShardFiles(prevIdx, fresh.select("surt_key"), wave)
+    writeIndex(wave, prevIdx ++ updatedShards.map(_ -> wave))
     fresh.unpersist(blocking = false)
     phase("shards update")
 
@@ -424,7 +552,22 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val res = WaveResult(wave, nFresh, nFresh, nFresh, nScheduled,
       nScheduled, nSeen, nPending, (System.nanoTime() - t0) / 1e9)
     commit(wave, res)
+    // reclaim shard files superseded one wave ago (lag keeps a re-run
+    // of THIS wave resolvable from the previous index)
+    pruneSupersededShardFiles(wave)
     res
+  }
+
+  /** Seen-membership probe: the fresh (never-seen) subset of `urls`
+    * (url, priority) as of the latest committed wave — the wave's
+    * subtraction step standalone. Shuffles O(probe urls) only; each
+    * task loads its shard's state file directly. */
+  def freshOnly(urls: DataFrame): DataFrame = {
+    val prev = latestCommittedWave()
+    require(prev >= 0, "frontier not initialized")
+    subtractSeen(
+      canonicalized(urls).select("surt_key", "canonical_url", "host", "priority"),
+      readIndex(prev))
   }
 
   def scheduledDf(wave: Int): DataFrame = spark.read.parquet(dir("scheduled", s"wave=$wave"))
@@ -438,6 +581,42 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
 }
 
 object Frontier {
+
+  private[frontier] def shardFilePath(ckDir: String, wave: Int, shard: Int): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(ckDir, f"shards/wave=$wave/shard-$shard%05d.bin")
+
+  /** Executor-side shard-state read (direct storage access, not a
+    * shuffle). `new Configuration()` picks up core-site defaults from
+    * the executor classpath on a real cluster; local paths need none. */
+  private[frontier] def loadShardState(ckDir: String, waveOpt: Option[Int],
+                                       shard: Int): SeenFilter.ShardState =
+    waveOpt match {
+      case None => SeenFilter.EmptyShardState
+      case Some(w) =>
+        val p = shardFilePath(ckDir, w, shard)
+        val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+        try SeenFilter.readShardState(in) finally in.close()
+    }
+
+  /** Executor-side shard-state write: temp file + rename. Task retries
+    * and wave re-runs produce byte-identical content, so any interleave
+    * of attempts converges on the same file. */
+  private[frontier] def storeShardState(ckDir: String, wave: Int, shard: Int,
+                                        s: SeenFilter.ShardState): Unit = {
+    val p = shardFilePath(ckDir, wave, shard)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try SeenFilter.writeShardState(out, s) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      require(fs.exists(p), s"shard state write lost: $p")
+    }
+  }
+
   /** Seed list extracted from the images table (north rule: the frontier
     * runs OVER the image+caption corpus): each caption carries a URL
     * token; priority derives from the perceptual hash so identical

@@ -271,4 +271,141 @@ object SeenFilter {
   /** Insert `keys` into the chain, appending a new blob on overflow. */
   def updateShardChain(blobs: Seq[Array[Byte]], keys: Seq[String]): Seq[Array[Byte]] =
     updateShardChainHashes(blobs, keys.iterator.map(hashKey))
+
+  // =================================================================
+  // Exact-hash sorted runs (the shard's EXACT membership)
+  // =================================================================
+  // 64-bit key hashes stored as a chain of SORTED runs, maintained with
+  // the logarithmic method (merge the newest runs whenever an incoming
+  // batch is at least as large): amortized O(log) inserts, O(log n)
+  // runs, binary-search probes. This lets seen-set membership be
+  // decided INSIDE the shard probe task, so a wave's seen-subtraction
+  // shuffles O(candidates) — never the 10^10-key seen store (r2's
+  // per-wave anti-join shuffled ~0.5-1 TB of SURT strings).
+  //
+  // Exactness: membership is hash64 equality. A false drop needs a
+  // 64-bit collision between a candidate and a DIFFERENT seen key:
+  // P ≈ n_seen/2^64 ≈ 5e-10 per candidate at 10^10 seen keys — a
+  // handful of falsely-skipped URLs over an entire crawl, each merely
+  // not fetched (state is never corrupted). The cuckoo chain stays as
+  // the O(1) prefilter: exact runs are only searched on filter hits.
+
+  private val RunMagic = 0x58435431 // "XCT1"
+
+  def encodeRun(sorted: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + sorted.length * 8)
+    bb.putInt(RunMagic)
+    bb.putInt(sorted.length)
+    var i = 0
+    while (i < sorted.length) { bb.putLong(sorted(i)); i += 1 }
+    bb.array()
+  }
+
+  def runCount(blob: Array[Byte]): Int = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    require(bb.getInt() == RunMagic, "bad exact-run magic")
+    bb.getInt()
+  }
+
+  def decodeRun(blob: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    require(bb.getInt() == RunMagic, "bad exact-run magic")
+    val n = bb.getInt()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  private def dedupSortedInPlace(a: Array[Long]): Array[Long] = {
+    if (a.length < 2) return a
+    var w = 1
+    var i = 1
+    while (i < a.length) {
+      if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == a.length) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  private def mergeSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length + b.length)
+    var i = 0; var j = 0; var w = 0
+    while (i < a.length && j < b.length) {
+      val v = if (a(i) <= b(j)) { val t = a(i); i += 1; t } else { val t = b(j); j += 1; t }
+      if (w == 0 || out(w - 1) != v) { out(w) = v; w += 1 }
+    }
+    while (i < a.length) { if (w == 0 || out(w - 1) != a(i)) { out(w) = a(i); w += 1 }; i += 1 }
+    while (j < b.length) { if (w == 0 || out(w - 1) != b(j)) { out(w) = b(j); w += 1 }; j += 1 }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Insert a batch of hashes as a new sorted run, merging down runs no
+    * larger than the batch (logarithmic method). MUTATES `newHashes`
+    * (sorts in place) — callers pass a throwaway array. */
+  def updateExactRuns(runs: Seq[Array[Byte]], newHashes: Array[Long]): Seq[Array[Byte]] = {
+    if (newHashes.isEmpty) return runs
+    java.util.Arrays.sort(newHashes)
+    var merged = dedupSortedInPlace(newHashes)
+    val out = runs.toBuffer
+    while (out.nonEmpty && runCount(out.last) <= merged.length)
+      merged = mergeSorted(decodeRun(out.remove(out.length - 1)), merged)
+    out += encodeRun(merged)
+    out.toSeq
+  }
+
+  /** Parsed probe over a run chain: binary search per run. */
+  final class ExactProbe(runs: Array[Array[Long]]) extends Serializable {
+    def contains(h: Long): Boolean = {
+      var i = 0
+      while (i < runs.length) {
+        if (java.util.Arrays.binarySearch(runs(i), h) >= 0) return true
+        i += 1
+      }
+      false
+    }
+    def size: Long = { var s = 0L; runs.foreach(s += _.length); s }
+  }
+
+  def parseExact(blobs: Seq[Array[Byte]]): ExactProbe =
+    new ExactProbe(blobs.map(decodeRun).toArray)
+
+  // =================================================================
+  // Shard-state file format (filters chain + exact runs)
+  // =================================================================
+  // One compact binary blob per shard, stored as a FILE under the
+  // frontier checkpoint and read DIRECTLY by the task that probes that
+  // shard — shard state never rides a shuffle.
+
+  final case class ShardState(filters: Seq[Array[Byte]], exact: Seq[Array[Byte]]) {
+    def isEmpty: Boolean = filters.isEmpty && exact.isEmpty
+  }
+  val EmptyShardState: ShardState = ShardState(Nil, Nil)
+
+  private val ShardMagic = 0x47534831 // "GSH1"
+
+  def writeShardState(out: java.io.OutputStream, s: ShardState): Unit = {
+    val d = new java.io.DataOutputStream(new java.io.BufferedOutputStream(out, 1 << 16))
+    d.writeInt(ShardMagic)
+    d.writeInt(s.filters.length)
+    s.filters.foreach { b => d.writeInt(b.length); d.write(b) }
+    d.writeInt(s.exact.length)
+    s.exact.foreach { b => d.writeInt(b.length); d.write(b) }
+    d.flush()
+  }
+
+  def readShardState(in: java.io.InputStream): ShardState = {
+    val d = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
+    require(d.readInt() == ShardMagic, "bad shard-state magic")
+    def blobs(): Seq[Array[Byte]] = {
+      val n = d.readInt()
+      (0 until n).map { _ =>
+        val len = d.readInt()
+        val b = new Array[Byte](len)
+        d.readFully(b)
+        b
+      }
+    }
+    ShardState(blobs(), blobs())
+  }
 }

@@ -75,9 +75,12 @@ object WarcSchema {
       case None => props.get("path").toSeq
     }
     raw.flatMap { p =>
-      val f = new java.io.File(p)
-      if (f.isDirectory)
-        f.listFiles().filter(_.isFile).map(_.getPath).sorted.toSeq
+      // Hadoop FS, not java.io.File: directory loads must work on any
+      // scheme the partition reader itself supports (file:/hdfs:/s3a:)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.isDirectory(hp))
+        fs.listStatus(hp).filter(_.isFile).map(_.getPath.toString).sorted.toSeq
       else Seq(p)
     }
   }

@@ -74,6 +74,39 @@ class SeenFilterSpec extends AnyFunSuite {
     }
     assert(!forced, "tiny cuckoo should overflow")
   }
+
+  test("exact runs: sorted-run chain has exact membership, logarithmic run count") {
+    var runs: Seq[Array[Byte]] = Nil
+    val rnd = new scala.util.Random(11)
+    val inserted = scala.collection.mutable.Set.empty[Long]
+    // 40 waves of uneven batches — the logarithmic merge must keep the
+    // chain short while preserving exact membership
+    for (w <- 0 until 40) {
+      val batch = Array.fill(1 + rnd.nextInt(500))(rnd.nextLong())
+      inserted ++= batch
+      runs = SeenFilter.updateExactRuns(runs, batch)
+    }
+    val probe = SeenFilter.parseExact(runs)
+    inserted.foreach(h => assert(probe.contains(h), s"exact run lost $h"))
+    val absent = (0 until 10000).map(i => SeenFilter.hashKey(s"absent$i")).filterNot(inserted)
+    absent.foreach(h => assert(!probe.contains(h), "exact run FALSE POSITIVE — must be exact"))
+    assert(runs.length <= 16, s"run chain too long: ${runs.length} (log merge broken?)")
+    assert(probe.size == inserted.size.toLong)
+  }
+
+  test("shard-state file round-trip: filters + exact runs") {
+    val hashes = (0 until 5000).map(i => SeenFilter.hashKey(s"k$i")).toArray
+    val filters = SeenFilter.updateShardChainHashes(Nil, hashes.iterator)
+    val exact = SeenFilter.updateExactRuns(Nil, hashes.clone())
+    val st = SeenFilter.ShardState(filters, exact)
+    val bos = new java.io.ByteArrayOutputStream()
+    SeenFilter.writeShardState(bos, st)
+    val back = SeenFilter.readShardState(new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(back.filters.map(_.toSeq) == st.filters.map(_.toSeq))
+    assert(back.exact.map(_.toSeq) == st.exact.map(_.toSeq))
+    val probe = SeenFilter.parseExact(back.exact)
+    hashes.foreach(h => assert(probe.contains(h)))
+  }
 }
 
 class FrontierSpec extends AnyFunSuite with SparkTestBase {
@@ -217,5 +250,84 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
     val field = classOf[Frontier].getDeclaredField("cfg")
     field.setAccessible(true)
     field.get(f).asInstanceOf[FrontierConfig].checkpointDir
+  }
+
+  test("seen-delta compaction: identical membership, pruned dirs, resume-safe") {
+    val ckDir = tmpDir("compact")
+    val cfg = FrontierConfig(checkpointDir = ckDir, hostBudget = 5, seenShards = 16)
+    val f = new Frontier(spark, cfg)
+    f.initialize(Frontier.syntheticSeeds(spark, 1500))
+    (1 to 6).foreach(_ => f.runWave())
+    val before = f.seenDf(6).collect().map(_.getString(0)).sorted.toVector
+    val wave6 = f.scheduledDf(6).select("surt_key", "rank_in_host")
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toVector
+
+    f.compactSeen(5)
+    // membership identical; only ONE delta dir (wave 6) remains
+    val after = f.seenDf(6).collect().map(_.getString(0)).sorted.toVector
+    assert(after == before, "compaction changed seen membership")
+    val deltaDirs = Files.list(Paths.get(ckDir, "seen")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("wave="))
+    assert(deltaDirs == 1, s"$deltaDirs delta dirs left after compacting ≤5")
+
+    // compaction is idempotent + monotone
+    f.compactSeen(5)
+    assert(f.seenDf(6).count() == before.size.toLong)
+
+    // kill wave 6 (uncommitted crash) AFTER compaction: resume must
+    // reproduce the identical wave from base + rewritten delta
+    Files.delete(Paths.get(ckDir, "MANIFEST-6.json"))
+    def rmRec(p: Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    rmRec(Paths.get(ckDir, "scheduled", "wave=6"))
+    rmRec(Paths.get(ckDir, "seen", "wave=6"))
+    rmRec(Paths.get(ckDir, "frontier", "wave=6"))
+    assert(f.latestCommittedWave() == 5)
+    val redo = f.runWave()
+    assert(redo.wave == 6)
+    val wave6redo = f.scheduledDf(6).select("surt_key", "rank_in_host")
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toVector
+    assert(wave6redo == wave6, "post-compaction resume diverged")
+    assert(f.seenDf(6).collect().map(_.getString(0)).sorted.toVector == before)
+  }
+
+  test("seen-subtraction shuffle is O(candidates), not O(seen) — stage-metric assert") {
+    // 150k seen keys (~8 MB of SURT strings), probed with 1000
+    // candidates: the subtract step must shuffle only the candidates —
+    // shard state is read in-task, never exchanged. (The r2 design
+    // anti-joined candidates against the full seen store: an O(seen)
+    // SortMergeJoin shuffle on every wave.)
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val cfg = FrontierConfig(checkpointDir = tmpDir("shufflebytes"),
+      seenShards = 16, fastMode = true)
+    val f = new Frontier(spark, cfg)
+    def urlsFor(from: Long, until: Long) = spark.range(from, until).select(
+      concat(lit("https://www.h"), $"id" % 150, lit(".example.org/p/"), $"id").as("url"),
+      ($"id" % 100).cast("int").as("priority"))
+    f.initialize(urlsFor(0, 150000))
+    assert(f.seenDf(0).count() == 150000)
+    // probe: 500 seen + 500 never-seen
+    val probe = urlsFor(149500, 150500)
+    var shuffleWrite = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val nFresh = try {
+      val n = f.freshOnly(probe).count()
+      Thread.sleep(3000) // listener bus is async — let it drain
+      n
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(nFresh == 500, s"exact membership broken: $nFresh fresh of 1000 probed")
+    // 1000 candidates ≈ ~100 KB of shuffle; the 8 MB seen store must
+    // contribute NOTHING to it
+    assert(shuffleWrite > 0, "probe must shuffle the candidates to their shards")
+    assert(shuffleWrite < 1L * 1024 * 1024,
+      s"probe shuffled $shuffleWrite bytes — O(seen) leak into the shuffle?")
   }
 }

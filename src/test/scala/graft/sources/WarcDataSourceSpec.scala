@@ -75,6 +75,17 @@ class WarcDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(df.select("filename").distinct().count() == 2)
     assert(df.rdd.getNumPartitions == 2)
   }
+
+  test("directory load resolves through Hadoop FS, including a file: URI") {
+    val dir = graft.Scratch.dir("warcdirload")
+    val src = java.nio.file.Paths.get(fixturePath("example.warc.gz"))
+    java.nio.file.Files.copy(src, dir.resolve("a.warc.gz"))
+    java.nio.file.Files.copy(src, dir.resolve("b.warc.gz"))
+    val plain = spark.read.format("warc").load(dir.toString)
+    assert(plain.select("filename").distinct().count() == 2)
+    val viaUri = spark.read.format("warc").load("file:" + dir.toString)
+    assert(viaUri.count() == plain.count())
+  }
 }
 
 class LenientScanSpec extends org.scalatest.funsuite.AnyFunSuite with graft.SparkTestBase {
