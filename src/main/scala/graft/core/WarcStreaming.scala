@@ -235,7 +235,15 @@ object WarcStreaming {
       keepCase: Boolean = false,
       keepPayload: Boolean = true,
       strictHeaders: Boolean = false,
-      rawBase: Long = 0L
+      rawBase: Long = 0L,
+      /** With `keepPayload = false`, payload bytes are fed here in
+        * ≤64 KiB chunks `(buf, off, len)` instead of being skipped —
+        * the lazy-payload path: a multi-GB body streams through O(64
+        * KiB) of task memory (chunked `MessageDigest.update`,
+        * re-serialization, …). Receives the payload of EVERY record
+        * the iterator advances over; single-record uses (pointer
+        * re-reads) pull exactly one record. */
+      payloadSink: (Array[Byte], Int, Int) => Unit = null
   ): Iterator[FramedRecord] = {
     val pin = new java.io.PushbackInputStream(in, 2)
     val b0 = pin.read()
@@ -244,7 +252,8 @@ object WarcStreaming {
     if (b0 >= 0) pin.unread(b0)
     val gz = isGzip || (b0 == 0x1f && b1 == 0x8b)
     val feed: Feed = if (gz) new GzipFeed(pin, rawBase) else new PlainFeed(pin)
-    new RecordIterator(feed, pin, filename, gz, keepCase, keepPayload, strictHeaders)
+    new RecordIterator(feed, pin, filename, gz, keepCase, keepPayload, strictHeaders,
+      payloadSink)
   }
 
   private val VersionLine = "WARC/\\d+(\\.\\d+)?".r
@@ -256,7 +265,8 @@ object WarcStreaming {
       gz: Boolean,
       keepCase: Boolean,
       keepPayload: Boolean,
-      strictHeaders: Boolean
+      strictHeaders: Boolean,
+      payloadSink: (Array[Byte], Int, Int) => Unit = null
   ) extends Iterator[FramedRecord] {
 
     // records parsed but awaiting their end-member's raw length (gz only)
@@ -326,10 +336,26 @@ object WarcStreaming {
 
     private def readPayload(n: Long): Array[Byte] = {
       if (n <= 0) return Array.emptyByteArray
-      if (!keepPayload) { feed.skip(n); return Array.emptyByteArray }
+      if (!keepPayload) {
+        if (payloadSink == null) { feed.skip(n); return Array.emptyByteArray }
+        // lazy-payload streaming: chunk through the sink, O(64 KiB)
+        // memory at ANY payload size (no JVM-array cap on this path)
+        val tmp = new Array[Byte](1 << 16)
+        var remaining = n
+        var r = 0
+        while (remaining > 0 && {
+          r = feed.readInto(tmp, 0, math.min(remaining, tmp.length.toLong).toInt); r > 0
+        }) {
+          payloadSink(tmp, 0, r)
+          remaining -= r
+        }
+        return Array.emptyByteArray
+      }
+      // eager (materializing) path only: bounded by the JVM array limit
       require(n < Int.MaxValue - 8,
         s"payload of $n bytes exceeds the JVM array limit in $filename; " +
-          "prune the payload column (keepPayload=false) to stream past it")
+          "use the lazy payload path (keepPayload=false + payloadSink, " +
+          "sources.LazyPayload) to stream past it")
       // chunked so a lying (huge) Content-Length cannot pre-allocate n
       val bos = new java.io.ByteArrayOutputStream(math.min(n, 1L << 16).toInt)
       val tmp = new Array[Byte](1 << 16)
