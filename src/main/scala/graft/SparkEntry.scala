@@ -306,12 +306,18 @@ object SparkEntry {
     }),
     "q28_embed_neardup" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       // near-dup corpus: every vector + a same-direction copy (scaled
-      // 1.001x ⇒ cosine 1) — LSH bucketing must pair originals+copies
+      // 1.001x ⇒ cosine 1) — LSH bucketing must pair originals+copies.
+      // The corpus is STAGED and the oracle recomputes the all-pairs
+      // cosine join from it (same-direction pairs have identical LSH
+      // signatures, so recall is exactly 1 for them; the corpus' max
+      // cross-pair cosine is ~0.51, far under the 0.95 threshold).
       val e = t(dir, "embeddings").select($"vec_id", $"embedding")
       val copies = e.select(($"vec_id" + 1000000).as("vec_id"),
         transform($"embedding", x => x * lit(1.001f)).as("embedding"))
-      Dedup.embeddingPairs(e.unionByName(copies), "vec_id", "embedding",
-        cosThreshold = 0.95)
+      e.unionByName(copies)
+        .write.mode("overwrite").parquet(StageDir + "/q28_vectors.parquet")
+      Dedup.embeddingPairs(sp.read.parquet(StageDir + "/q28_vectors.parquet"),
+        "vec_id", "embedding", cosThreshold = 0.95)
         .select($"id_a", $"id_b", round($"cosine", 4).as("cosine"))
         .orderBy($"id_a", $"id_b")
     }),
@@ -476,11 +482,12 @@ object SparkEntry {
         chunked.write("0\r\n\r\n".getBytes)
         (id, chunked.toByteArray)
       }.toDF("doc_id", "body")
+      // the DECODED TEXT itself is the output — the oracle compares it
+      // against the source column value-for-value (not a literal TRUE)
       encoded.select($"doc_id",
           Functions.decodePayload($"body", lit("gzip"), lit("chunked")).as("decoded"))
-        .join(docs, "doc_id")
         .select($"doc_id",
-          ($"decoded".cast("string") === $"text").as("roundtrip_ok"),
+          $"decoded".cast("string").as("decoded_text"),
           length($"decoded").as("n_bytes"))
         .orderBy($"doc_id")
     }),
@@ -557,11 +564,17 @@ object SparkEntry {
     // sampled (frame_idx, dims) set in SQL.
     "q41_video_frames" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val n = t(dir, "documents").count()
+      // per-video frame counts AND dims vary — the staged metadata is
+      // the source of truth the decoded dims must reproduce (no
+      // constant w/h the oracle could accidentally share)
       val media = sp.range(n).map { i =>
         val frames = 3 + (i % 4).toInt
-        (f"vid$i%06d", frames, graft.frontier.MediaSynth.mjpegFor(42L, i, frames, w = 32, h = 24))
-      }.toDF("media_id", "n_frames", "bytes")
-      media.select($"media_id", $"n_frames")
+        val w = 24 + ((i % 3) * 4).toInt
+        val h = 20 + ((i % 2) * 8).toInt
+        (f"vid$i%06d", frames, w, h,
+          graft.frontier.MediaSynth.mjpegFor(42L, i, frames, w = w, h = h))
+      }.toDF("media_id", "n_frames", "w", "h", "bytes")
+      media.select($"media_id", $"n_frames", $"w", $"h")
         .write.mode("overwrite").parquet(StageDir + "/q41_meta.parquet")
       Multimodal.sampleFrames(media, "media_id", "bytes", everyNth = 2, maxFrames = 8)
         .toDF().select($"media_id", $"frame_idx", $"w", $"h")
@@ -587,14 +600,18 @@ object SparkEntry {
           sp.read.parquet(StageDir + "/q42_pairs.parquet")))
         .orderBy($"id")
     }),
-    // ---- header parsing + decode over synthesized blocks ------------
+    // ---- header parsing over synthesized blocks. The blocks are
+    // staged; the oracle re-parses them with SQL string ops (line
+    // split, name match, value extraction) — the parse itself is
+    // cross-derived, not a reconstructed literal.
     "q32_parse_headers" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       Functions.registerAll(sp)
-      val blocks = t(dir, "documents").select($"doc_id",
+      t(dir, "documents").select($"doc_id",
         concat(lit("Content-Type: text/plain\r\nX-Doc: d"), $"doc_id",
           lit("\r\nSet-Cookie: a=1\r\nSet-Cookie: b=2\r\n\r\n")).as("block"))
-      blocks.select($"doc_id",
-          expr("parse_headers(block)").as("headers"))
+        .write.mode("overwrite").parquet(StageDir + "/q32_blocks.parquet")
+      sp.read.parquet(StageDir + "/q32_blocks.parquet")
+        .select($"doc_id", expr("parse_headers(block)").as("headers"))
         .select($"doc_id", size($"headers").as("n_headers"),
           Functions.headerGet($"headers", "set-cookie").as("cookies"),
           Functions.headerGet($"headers", "x-doc").as("xdoc"))
@@ -740,14 +757,31 @@ object SparkEntry {
         |WHERE len(list_intersect(a.g, b.g)) * 1.0
         |    / len(list_distinct(list_concat(a.g, b.g))) >= 0.3
         |ORDER BY 1, 2""".stripMargin,
+    // all-pairs cosine re-derived from the staged corpus — any pair
+    // the LSH pipeline emits or misses shows up as a diff
     "q28_embed_neardup" ->
-      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
-        | CAST(1.0 AS DOUBLE) AS cosine
-        |FROM embeddings ORDER BY 1""".stripMargin,
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM read_parquet('/tmp/graft_oracle_stage/q28_vectors.parquet/*.parquet'))
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+        |FROM d a JOIN d b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+        |ORDER BY 1, 2""".stripMargin,
     "q32_parse_headers" ->
-      """SELECT doc_id, 4 AS n_headers, 'a=1, b=2' AS cookies,
-        | 'd' || doc_id AS xdoc
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH b AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q32_blocks.parquet/*.parquet')),
+        |l AS (SELECT doc_id,
+        |        list_filter(string_split(block, chr(13) || chr(10)),
+        |          x -> length(x) > 0) AS lines
+        |      FROM b)
+        |SELECT doc_id,
+        |  len(lines) AS n_headers,
+        |  array_to_string(list_transform(
+        |    list_filter(lines, x -> starts_with(lower(x), 'set-cookie:')),
+        |    x -> trim(substr(x, 12))), ', ') AS cookies,
+        |  list_transform(
+        |    list_filter(lines, x -> starts_with(lower(x), 'x-doc:')),
+        |    x -> trim(substr(x, 7)))[1] AS xdoc
+        |FROM l ORDER BY doc_id""".stripMargin,
     "q36_revisit_resolve" ->
       """WITH w AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q36_warc_rows.parquet/*.parquet'))
         |SELECT r.url AS revisit_url, o.url AS original_url, r.payload_digest
@@ -755,7 +789,7 @@ object SparkEntry {
         |JOIN (SELECT * FROM w WHERE kind = 'resp') o USING (payload_digest)
         |ORDER BY revisit_url""".stripMargin,
     "q37_payload_decode" ->
-      """SELECT doc_id, TRUE AS roundtrip_ok,
+      """SELECT doc_id, text AS decoded_text,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     // LSH band-bucket pair generation re-derived over the staged
@@ -847,14 +881,18 @@ object SparkEntry {
         | 32 AS digest_len,
         | 'doc' || doc_id || '.warc.gz' AS filename
         |FROM documents ORDER BY urlkey, timestamp""".stripMargin,
-    // full-probe IVF = exact top-k (same oracle shape as q19)
+    // full-probe IVF = exact top-k. NOTE: ivfTopK ranks by the EXACT
+    // cosine, so the oracle must too — ordering by the rounded alias
+    // would make the k-boundary tie-fragile (two cosines that round
+    // equal but differ exactly could select different sets).
     "q26_ann_ivf" ->
       """SELECT e.vec_id,
         | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cosine
         |FROM embeddings e,
         | (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
-        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
     // wave-2 scheduling re-derived from the staged wave-1 pending state:
     // robots filter + per-host politeness top-K + output ordering — the
     // salted two-phase budget must equal the plain per-host window
@@ -907,11 +945,12 @@ object SparkEntry {
         | round(sqrt(avg(CAST(sample AS DOUBLE) * sample)), 4) AS rms
         |FROM read_parquet('/tmp/graft_oracle_stage/q40_samples.parquet/*.parquet')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // sampled frame set re-derived from staged per-video frame counts
+    // sampled frame set AND per-video dims re-derived from staged meta
     "q41_video_frames" ->
       """WITH m AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q41_meta.parquet/*.parquet')),
-        |f AS (SELECT media_id, CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_idx FROM m)
-        |SELECT media_id, frame_idx, 32 AS w, 24 AS h FROM f ORDER BY 1, 2""".stripMargin,
+        |f AS (SELECT media_id, w, h,
+        |        CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_idx FROM m)
+        |SELECT media_id, frame_idx, w, h FROM f ORDER BY 1, 2""".stripMargin,
     // ground-truth components: recursive transitive closure over the
     // staged pairs, min reachable id per node
     "q42_dedup_clusters" ->

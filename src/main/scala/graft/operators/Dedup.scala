@@ -193,7 +193,11 @@ object Dedup {
     * size. (For adversarially long path graphs the alternating
     * large-star/small-star scheme — Kiveris et al., public — drops
     * rounds to O(log n); not needed for dedup-shaped graphs.) */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+                          /** fail loudly instead of silently returning
+                            * split components when maxIter is reached
+                            * before convergence */
+                          requireConverged: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
@@ -225,6 +229,17 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged) {
+      // min-label propagation needs ~diameter rounds: a path-shaped
+      // graph longer than maxIter+1 nodes exits here with WRONG
+      // (split) labels — never let that pass silently
+      val msg = s"connectedComponents did not converge after $maxIter rounds — " +
+        "labels are split for components with diameter > maxIter. Raise maxIter, " +
+        "or use the alternating large-star/small-star scheme (Kiveris et al.) " +
+        "for adversarially long path graphs."
+      if (requireConverged) throw new IllegalStateException(msg)
+      else System.err.println(s"[dedup] WARNING: $msg")
+    }
     labels
   }
 

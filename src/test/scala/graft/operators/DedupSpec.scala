@@ -74,6 +74,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(keep == Set(1L, 10L, 20L))
   }
 
+  test("connectedComponents: non-convergence at maxIter is loud, not silent") {
+    import spark.implicits._
+    // path of 16 nodes: diameter 15 — cannot converge in 2 rounds
+    val path = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 2, requireConverged = true).collect()
+    }
+    // with enough rounds the same graph resolves to component 0
+    val cc = Dedup.connectedComponents(path, maxIter = 20, requireConverged = true)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(0L))
+  }
+
   test("simhashPairs: mutated near-copies found, over-cap reported") {
     // simhash is a weighted bit-majority: one extra word flips only bits
     // whose vote margin is ≤1, so near-copy detection needs docs long
