@@ -450,13 +450,25 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     phase("frontier write")
     // seen = surt_key projection of the JUST-WRITTEN frontier: a
     // single-column parquet read, not a recompute of the whole
-    // canonicalize+dedup DAG (which would double init cost)
-    spark.read.parquet(dir("frontier", "wave=0")).select("surt_key")
-      .write.mode("overwrite").parquet(dir("seen", "wave=0"))
-    phase("seen write")
-    val updated = updateShardFiles(Map.empty, spark.read.parquet(dir("seen", "wave=0")), 0)
-    writeIndex(0, updated.map(_ -> 0).toMap)
-    phase("shards build")
+    // canonicalize+dedup DAG (which would double init cost). The seen
+    // delta write and the shard build both derive from it and are
+    // independent — submitted concurrently (same rationale as the
+    // per-wave state writes).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Frontier.stateWriteEc
+    val frontier0 = spark.read.parquet(dir("frontier", "wave=0"))
+    val fSeen = Future {
+      frontier0.select("surt_key")
+        .write.mode("overwrite").parquet(dir("seen", "wave=0"))
+    }
+    val fShards = Future {
+      val updated = updateShardFiles(Map.empty, frontier0.select("surt_key"), 0)
+      writeIndex(0, updated.map(_ -> 0).toMap)
+    }
+    Await.result(fSeen, Duration.Inf)
+    Await.result(fShards, Duration.Inf)
+    phase("seen+shards build (concurrent)")
     val n = obs.get("n").asInstanceOf[Long]
     val res = WaveResult(0, n, n, n, n, 0, n, n, (System.nanoTime() - t0) / 1e9)
     commit(0, res)
@@ -521,28 +533,46 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
 
     // 4. new state: pending minus scheduled, plus fresh discoveries.
     // No re-dedup needed: `stillPending` ⊆ seen and `fresh` ∩ seen = ∅
-    // (fresh was anti-joined), and both sides are internally deduped —
+    // (fresh was subtracted), and both sides are internally deduped —
     // so plain unions replace two full-state shuffles per wave.
+    //
+    // The three state sinks below (frontier, seen delta, shard files)
+    // all hang off the PERSISTED `fresh` and are mutually independent,
+    // so their jobs are submitted CONCURRENTLY — at small executor
+    // counts each job alone underfills the cluster during its stage
+    // tails, and overlapping them recovers that idle time. Crash
+    // consistency is unaffected: any subset of the writes is invisible
+    // until the manifest commits, and a re-run overwrites all three
+    // idempotently.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      Frontier.stateWriteEc
     val stillPending = pending.join(
       scheduledR.select("surt_key"), Seq("surt_key"), "left_anti")
     val newPending = stillPending.unionByName(fresh)
       .select("surt_key", "canonical_url", "host", "priority")
-    // internal state is written UNSORTED — ordering semantics live in
-    // the data itself (priority, surt_key, rank_in_host); only the
-    // user-facing scheduled output pays for a global sort
-    newPending.write.mode("overwrite").parquet(dir("frontier", s"wave=$wave"))
-    phase("newPending write")
-
-    // seen DELTA: persist only this wave's fresh keys (O(fresh) write);
-    // readers union committed deltas via partition pruning (seenUpTo)
-    fresh.select("surt_key").write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
-    phase("seen delta write")
-
-    // incremental shard maintenance: insert only this wave's fresh keys
-    val updatedShards = updateShardFiles(prevIdx, fresh.select("surt_key"), wave)
-    writeIndex(wave, prevIdx ++ updatedShards.map(_ -> wave))
+    val fPending = Future {
+      // internal state is written UNSORTED — ordering semantics live in
+      // the data itself (priority, surt_key, rank_in_host); only the
+      // user-facing scheduled output pays for a global sort
+      newPending.write.mode("overwrite").parquet(dir("frontier", s"wave=$wave"))
+    }
+    val fSeen = Future {
+      // seen DELTA: persist only this wave's fresh keys (O(fresh) write)
+      fresh.select("surt_key").write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
+    }
+    val fShards = Future {
+      // incremental shard maintenance: insert only this wave's fresh keys
+      val updatedShards = updateShardFiles(prevIdx, fresh.select("surt_key"), wave)
+      writeIndex(wave, prevIdx ++ updatedShards.map(_ -> wave))
+      updatedShards
+    }
+    Await.result(fPending, Duration.Inf)
+    Await.result(fSeen, Duration.Inf)
+    Await.result(fShards, Duration.Inf)
     fresh.unpersist(blocking = false)
-    phase("shards update")
+    phase("state writes (frontier+seen+shards, concurrent)")
 
     // scheduled count came from the write job's Observation; state-size
     // reports are observability, skipped in bench mode
@@ -581,6 +611,17 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
 }
 
 object Frontier {
+
+  /** Small shared pool for concurrent state-write job submission (the
+    * jobs themselves run on the cluster; these threads only block on
+    * job completion). */
+  private[frontier] lazy val stateWriteEc: scala.concurrent.ExecutionContextExecutorService =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "frontier-state-write")
+        t.setDaemon(true)
+        t
+      }))
 
   private[frontier] def shardFilePath(ckDir: String, wave: Int, shard: Int): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(ckDir, f"shards/wave=$wave/shard-$shard%05d.bin")
