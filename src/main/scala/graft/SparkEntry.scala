@@ -600,6 +600,27 @@ object SparkEntry {
           sp.read.parquet(StageDir + "/q42_pairs.parquet")))
         .orderBy($"id")
     }),
+    // ---- seen-set membership probe (the wave's subtract step
+    // standalone): initialize a frontier, then probe 2n URLs of which
+    // the first n are the seeds themselves. The seen keys and the
+    // canonicalized probe keys are staged; the oracle re-derives the
+    // fresh set as an anti-join in SQL — an independent check of the
+    // in-task cuckoo-chain + exact-hash-run membership path.
+    "q43_seen_probe" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val ck = Scratch.dir("frontier-q43").toString
+      val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, seenShards = 16)
+      val f = new graft.frontier.Frontier(sp, cfg)
+      val n = t(dir, "documents").count().toInt.max(100)
+      f.initialize(graft.frontier.Frontier.syntheticSeeds(sp, n))
+      f.seenDf(0).write.mode("overwrite").parquet(StageDir + "/q43_seen.parquet")
+      val probes = graft.frontier.Frontier.syntheticSeeds(sp, 2 * n)
+      probes
+        .withColumn("c", call_udf("canon_all", $"url"))
+        .select($"c._2".as("surt_key"))
+        .filter($"surt_key".isNotNull)
+        .write.mode("overwrite").parquet(StageDir + "/q43_probes.parquet")
+      f.freshOnly(probes).select($"surt_key").orderBy($"surt_key")
+    }),
     // ---- header parsing over synthesized blocks. The blocks are
     // staged; the oracle re-parses them with SQL string ops (line
     // split, name match, value extraction) — the parse itself is
@@ -767,6 +788,15 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.95
         |ORDER BY 1, 2""".stripMargin,
+    // fresh = probes ∖ seen, re-derived as a SQL anti-join over the
+    // staged keys — must equal the shard-file membership decision
+    "q43_seen_probe" ->
+      """WITH s AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q43_seen.parquet/*.parquet')),
+        |p AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q43_probes.parquet/*.parquet'))
+        |SELECT p.surt_key FROM p
+        |LEFT JOIN s ON p.surt_key = s.surt_key
+        |WHERE s.surt_key IS NULL
+        |ORDER BY p.surt_key""".stripMargin,
     "q32_parse_headers" ->
       """WITH b AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q32_blocks.parquet/*.parquet')),
         |l AS (SELECT doc_id,
