@@ -263,16 +263,24 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     seenDeltaWaves().filter(_ <= upTo).foreach(w => rm(dir("seen", s"wave=$w")))
   }
 
-  /** Drop already-seen candidates. ONE shuffle of the candidates
-    * (grouped by shard id); each group's task loads its shard's state
-    * file directly and decides membership IN-TASK: the cuckoo/bloom
-    * chain prefilters (O(1) per key, mostly-negative), and only filter
-    * hits binary-search the exact hash runs. No anti-join against the
-    * seen store exists any more — a wave's seen-subtraction shuffle is
-    * O(candidates) at ANY seen-set size (r2 shuffled the full
-    * 10^10-key seen store through a SortMergeJoin every wave). The
-    * driver holds no filter state; per-task memory is O(seen/shards)
-    * (~30 MB/shard at 10^10 keys / 4096 shards).
+  /** Dedup candidates in-batch AND drop already-seen ones in ONE
+    * shuffle: candidates group by shard id; shard = f(surt), so every
+    * duplicate of a surt lands in the same group, where a hash-map
+    * fold reproduces the groupBy-min dedup (min priority / canonical /
+    * host per surt — the same deterministic tie-breaks a separate
+    * `groupBy(surt).agg(min…)` stage computed, whose whole extra
+    * shuffle of the candidate set this fusion deletes). Each group's
+    * task then loads its shard's state file directly and decides
+    * membership IN-TASK: the cuckoo/bloom chain prefilters (O(1) per
+    * key, mostly-negative), and only filter hits binary-search the
+    * exact hash runs. No anti-join against the seen store exists — a
+    * wave's seen-subtraction shuffle is O(candidates) at ANY seen-set
+    * size (r2 shuffled the full 10^10-key seen store through a
+    * SortMergeJoin every wave). The driver holds no filter state;
+    * per-task memory is O(seen/shards) state (~30 MB/shard at 10^10
+    * keys / 4096 shards) + O(distinct candidates/shard) for the dedup
+    * map (wave-bounded: ~250k entries at a 10^9-candidate wave over
+    * 4096 shards).
     *
     * Exactness: membership = 64-bit hash equality (see SeenFilter's
     * exact-runs note: ~5e-10 false-drop probability per candidate at
@@ -281,28 +289,58 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val n = cfg.seenShards
     val ckDir = cfg.checkpointDir
     val idxB = spark.sparkContext.broadcast(prevIdx)
+    // group granularity: a multiple k of the shard count, sized so the
+    // stage keeps ~2 groups per core even when seenShards < cores
+    // (16-shard test configs on a 32-core session would otherwise run
+    // the whole subtract on 16 tasks). floorMod(h, n·k) nests inside
+    // floorMod(h, n), so every group still holds surts of exactly ONE
+    // shard (group mod n) — dedup correctness and single-shard state
+    // loading are preserved; a shard's state is read ≤ k times. At
+    // production scale (shards ≫ cores) k = 1.
+    val k = math.max(1,
+      (2 * spark.sparkContext.defaultParallelism + n - 1) / n)
+    val groups = (n.toLong * k)
     val candT = cands
       .select(col("surt_key"), col("canonical_url"), col("host"),
         col("priority").cast("int"))
       .as[(String, String, String, Int)]
     candT.groupByKey(c =>
-        java.lang.Math.floorMod(SeenFilter.hashKey(c._1), n.toLong).toInt)
-      .flatMapGroups { (shard, cs) =>
-        val st = Frontier.loadShardState(ckDir, idxB.value.get(shard), shard)
-        if (st.isEmpty) cs
-        else {
-          val probes = st.filters.map(SeenFilter.parse).toArray
-          lazy val exact = SeenFilter.parseExact(st.exact)
-          cs.filter { c =>
-            val h = SeenFilter.hashKey(c._1)
-            var maybe = false
-            var i = 0
-            while (!maybe && i < probes.length) {
-              maybe = probes(i).mightContainHash(h); i += 1
-            }
-            !maybe || !exact.contains(h)
+        java.lang.Math.floorMod(SeenFilter.hashKey(c._1), groups).toInt)
+      .flatMapGroups { (group, cs) =>
+        val shard = group % n
+        // in-batch dedup: min per field, mirroring groupBy(surt).agg(min…)
+        val agg = new java.util.HashMap[String, Array[AnyRef]]()
+        cs.foreach { c =>
+          val cur = agg.get(c._1)
+          if (cur == null)
+            agg.put(c._1, Array[AnyRef](c._2, c._3, Integer.valueOf(c._4)))
+          else {
+            if (c._2 < cur(0).asInstanceOf[String]) cur(0) = c._2
+            if (c._3 < cur(1).asInstanceOf[String]) cur(1) = c._3
+            if (c._4 < cur(2).asInstanceOf[Integer].intValue()) cur(2) = Integer.valueOf(c._4)
           }
         }
+        val st = Frontier.loadShardState(ckDir, idxB.value.get(shard), shard)
+        val probes = st.filters.map(SeenFilter.parse).toArray
+        lazy val exact = SeenFilter.parseExact(st.exact)
+        import scala.jdk.CollectionConverters._
+        agg.entrySet().iterator().asScala
+          .filter { e =>
+            probes.isEmpty || {
+              val h = SeenFilter.hashKey(e.getKey)
+              var maybe = false
+              var i = 0
+              while (!maybe && i < probes.length) {
+                maybe = probes(i).mightContainHash(h); i += 1
+              }
+              !maybe || !exact.contains(h)
+            }
+          }
+          .map { e =>
+            val v = e.getValue
+            (e.getKey, v(0).asInstanceOf[String], v(1).asInstanceOf[String],
+              v(2).asInstanceOf[Integer].intValue())
+          }
       }.toDF("surt_key", "canonical_url", "host", "priority")
   }
 
@@ -515,18 +553,14 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       phase("metrics")
     }
 
-    // 2. discover outlinks of the scheduled batch; canonicalize + dedup
+    // 2+3. discover outlinks of the scheduled batch; canonicalize,
+    // then dedup + seen-subtract in ONE shard-keyed shuffle (the
+    // in-batch groupBy-min dedup is fused into the shard probe —
+    // subtractSeen). `fresh` feeds the state updates below — persist
+    // so the discovery + subtraction DAG runs once.
     val discovered = canonicalized(discoverOutlinks(scheduledR))
-    val candNorm = discovered
-      .groupBy("surt_key")
-      .agg(min("priority").as("priority"),
-        min("canonical_url").as("canonical_url"), min("host").as("host"))
-
-    // 3. seen-set subtraction (in-task shard-file probe: cuckoo chain
-    // prefilter + exact hash runs). `fresh` feeds BOTH state updates
-    // below — persist so the discovery + subtraction DAG runs once.
     val fresh = subtractSeen(
-      candNorm.select("surt_key", "canonical_url", "host", "priority"), prevIdx)
+      discovered.select("surt_key", "canonical_url", "host", "priority"), prevIdx)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nFresh = fresh.count()
     phase("discover+subtract")
