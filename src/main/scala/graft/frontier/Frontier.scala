@@ -95,25 +95,27 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       .filter(col("host").isNotNull && col("surt_key").isNotNull)
 
   // ----------------------------------------------------------------
-  // Seen-set shards — per-shard state FILES + a tiny per-wave index
+  // Seen-set shards — LSM level FILES + a tiny per-wave index
   // ----------------------------------------------------------------
-  // Shard state = (cuckoo/bloom filter chain, exact 64-bit hash runs),
-  // serialized as ONE binary file per shard under
-  // `shards/wave=<written>/shard-<id>.bin`. The task that probes or
-  // updates shard s reads that file DIRECTLY from storage — shard
-  // state never rides a shuffle (r2's cogroup exchanged ~10 B/key of
-  // shard blobs per wave; at 10^10 keys that is ~100 GB of shuffle a
-  // wave no longer pays). A per-wave INDEX file (seenShards ints)
-  // records which wave last wrote each shard, so only TOUCHED shards
-  // are rewritten — O(fresh) maintenance and O(changed shards) write
-  // amplification per wave. Files superseded by a committed wave are
-  // pruned post-commit (crash before prune leaves harmless garbage).
+  // Shard state = an ordered list of immutable LEVEL files (each a
+  // cuckoo/bloom filter + the exact sorted hash run it was built
+  // from, `SeenFilter.buildLevel`), living under
+  // `shards/wave=<created>/s<shard>-n<count>.lvl`. The task that
+  // probes or updates shard s reads its level files DIRECTLY from
+  // storage — shard state never rides a shuffle (r2's cogroup
+  // exchanged ~10 B/key of shard blobs per wave; at 10^10 keys that is
+  // ~100 GB of shuffle a wave no longer pays). Per-wave maintenance
+  // writes ONE new level per touched shard — O(batch) bytes, amortized
+  // O(log) via the logarithmic merge — and reads only the levels being
+  // merged, so state write amplification is O(fresh), never O(seen).
+  // A per-wave INDEX file lists each shard's level paths; levels
+  // dropped by a committed wave are pruned with a one-wave lag.
 
   private def indexFilePath(wave: Int): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(cfg.checkpointDir, s"shards/wave=$wave/INDEX.txt")
 
-  /** shard id → wave whose dir holds that shard's latest state file. */
-  private def readIndex(wave: Int): Map[Int, Int] = {
+  /** shard id → ordered level paths (relative to `shards/`). */
+  private def readIndex(wave: Int): Map[Int, Seq[String]] = {
     val p = indexFilePath(wave)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!f.exists(p)) return Map.empty
@@ -124,29 +126,39 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         s"checkpoint has $n seen shards but config says ${cfg.seenShards}")
       Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty)
-        .map { l => val a = l.trim.split(" "); a(0).toInt -> a(1).toInt }
+        .map { l =>
+          val a = l.trim.split(" ")
+          a(0).toInt -> a.drop(1).toSeq
+        }
         .toMap
     } finally in.close()
   }
 
-  private def writeIndex(wave: Int, idx: Map[Int, Int]): Unit = {
+  private def writeIndex(wave: Int, idx: Map[Int, Seq[String]]): Unit = {
     val p = indexFilePath(wave)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     val sb = new StringBuilder
     sb.append(cfg.seenShards).append('\n')
-    idx.foreach { case (s, w) => sb.append(s).append(' ').append(w).append('\n') }
+    idx.foreach { case (s, paths) =>
+      sb.append(s)
+      paths.foreach(pp => sb.append(' ').append(pp))
+      sb.append('\n')
+    }
     val out = f.create(p, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Insert this wave's fresh keys into their shards: one shuffle of
-    * the KEYS (grouped by shard id); each group's task loads the
-    * previous shard file, appends to the cuckoo chain + exact runs,
-    * and writes the new file under `wave` (idempotent deterministic
-    * overwrite — the manifest gates visibility, so task retries and
-    * wave re-runs are safe). Returns the updated shard ids (≤
-    * seenShards ints to the driver — accounting, not state). */
-  private def updateShardFiles(prevIdx: Map[Int, Int], newKeys: DataFrame, wave: Int): Seq[Int] = {
+    * the KEYS (grouped by shard id); each group's task decides the
+    * logarithmic merge from level COUNTS (encoded in the filenames —
+    * no reads needed to decide), loads ONLY the levels being merged,
+    * and writes one new level file under `wave` (deterministic name +
+    * content — task retries and wave re-runs converge on identical
+    * files; the manifest gates visibility). Returns each touched
+    * shard's new level-path list (≤ seenShards small rows to the
+    * driver — accounting, not state). */
+  private def updateShardFiles(prevIdx: Map[Int, Seq[String]], newKeys: DataFrame,
+                               wave: Int): Map[Int, Seq[String]] = {
     val n = cfg.seenShards
     val ckDir = cfg.checkpointDir
     val prevIdxB = spark.sparkContext.broadcast(prevIdx)
@@ -154,31 +166,34 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     newKeys.select(col("surt_key")).as[String]
       .groupByKey(k => java.lang.Math.floorMod(SeenFilter.hashKey(k), n.toLong).toInt)
       .flatMapGroups { (shard, keys) =>
-        val prev = Frontier.loadShardState(ckDir, prevIdxB.value.get(shard), shard)
-        val hashes = keys.map(SeenFilter.hashKey).toArray
-        // chain insert first (consumes an iterator over the unsorted
-        // array), THEN the exact runs (which sort the array in place)
-        val filters = SeenFilter.updateShardChainHashes(prev.filters, hashes.iterator)
-        val exact = SeenFilter.updateExactRuns(prev.exact, hashes)
-        Frontier.storeShardState(ckDir, wave, shard, SeenFilter.ShardState(filters, exact))
-        Iterator.single(shard)
-      }.collect().toSeq
+        val prevPaths = prevIdxB.value.getOrElse(shard, Nil)
+        val counts = prevPaths.map(Frontier.levelCountFromPath)
+        val batch = keys.map(SeenFilter.hashKey).toArray
+        val k = SeenFilter.levelsToMerge(counts, batch.length)
+        val (retained, merged) = prevPaths.splitAt(prevPaths.length - k)
+        // oldest-first merge keeps accumulation sorted
+        val mergedRuns = merged.map(pp => Frontier.loadLevel(ckDir, pp).hashes)
+        val run = SeenFilter.mergeIntoRun(batch, mergedRuns.reverse)
+        val rel = Frontier.storeLevel(ckDir, wave, shard, SeenFilter.buildLevel(run), run.length)
+        Iterator.single((shard, retained :+ rel))
+      }.collect().toMap
   }
 
-  /** GC shard files with a ONE-WAVE LAG: at commit of wave N, delete
-    * files superseded as of index(N-1) — i.e. unreferenced by BOTH
-    * index(N) and index(N-1). The lag keeps a re-run of wave N (after
-    * an uncommitted crash OR a hand-deleted manifest) fully
-    * resolvable from index(N-1). O(changed) deletes per wave; every
-    * superseded file is reclaimed exactly one wave later; a crash
+  /** GC level files with a ONE-WAVE LAG: at commit of wave N, delete
+    * levels referenced by index(N-2) but no longer by index(N-1) —
+    * i.e. unreferenced by BOTH index(N) and index(N-1) (a level
+    * dropped at N-1 can never reappear). The lag keeps a re-run of
+    * wave N (after an uncommitted crash OR a hand-deleted manifest)
+    * fully resolvable from index(N-1). O(merged) deletes per wave;
+    * every retired level is reclaimed exactly one wave later; a crash
     * mid-prune leaves only unreferenced garbage. */
   private def pruneSupersededShardFiles(wave: Int): Unit = {
     if (wave < 2) return
-    val a = readIndex(wave - 1)
-    val b = readIndex(wave - 2)
+    val live = readIndex(wave - 1).values.flatten.toSet
+    val dead = readIndex(wave - 2).values.flatten.filterNot(live)
     val conf = spark.sessionState.newHadoopConf()
-    for ((s, wA) <- a if wA == wave - 1; wB <- b.get(s) if wB < wA) {
-      val p = Frontier.shardFilePath(cfg.checkpointDir, wB, s)
+    dead.foreach { rel =>
+      val p = Frontier.levelPath(cfg.checkpointDir, rel)
       try { p.getFileSystem(conf).delete(p, false); () } catch { case _: Exception => }
     }
   }
@@ -285,7 +300,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     * Exactness: membership = 64-bit hash equality (see SeenFilter's
     * exact-runs note: ~5e-10 false-drop probability per candidate at
     * 10^10 seen keys, and a false drop only skips one fetch). */
-  private def subtractSeen(cands: DataFrame, prevIdx: Map[Int, Int]): DataFrame = {
+  private def subtractSeen(cands: DataFrame, prevIdx: Map[Int, Seq[String]]): DataFrame = {
     val n = cfg.seenShards
     val ckDir = cfg.checkpointDir
     val idxB = spark.sparkContext.broadcast(prevIdx)
@@ -320,20 +335,19 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
             if (c._4 < cur(2).asInstanceOf[Integer].intValue()) cur(2) = Integer.valueOf(c._4)
           }
         }
-        val st = Frontier.loadShardState(ckDir, idxB.value.get(shard), shard)
-        val probes = st.filters.map(SeenFilter.parse).toArray
-        lazy val exact = SeenFilter.parseExact(st.exact)
+        val levels = idxB.value.getOrElse(shard, Nil)
+          .map(rel => Frontier.loadLevel(ckDir, rel)).toArray
         import scala.jdk.CollectionConverters._
         agg.entrySet().iterator().asScala
           .filter { e =>
-            probes.isEmpty || {
+            levels.isEmpty || {
               val h = SeenFilter.hashKey(e.getKey)
-              var maybe = false
+              var seen = false
               var i = 0
-              while (!maybe && i < probes.length) {
-                maybe = probes(i).mightContainHash(h); i += 1
+              while (!seen && i < levels.length) {
+                seen = levels(i).contains(h); i += 1
               }
-              !maybe || !exact.contains(h)
+              !seen
             }
           }
           .map { e =>
@@ -501,8 +515,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         .write.mode("overwrite").parquet(dir("seen", "wave=0"))
     }
     val fShards = Future {
-      val updated = updateShardFiles(Map.empty, frontier0.select("surt_key"), 0)
-      writeIndex(0, updated.map(_ -> 0).toMap)
+      writeIndex(0, updateShardFiles(Map.empty, frontier0.select("surt_key"), 0))
     }
     Await.result(fSeen, Duration.Inf)
     Await.result(fShards, Duration.Inf)
@@ -599,7 +612,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val fShards = Future {
       // incremental shard maintenance: insert only this wave's fresh keys
       val updatedShards = updateShardFiles(prevIdx, fresh.select("surt_key"), wave)
-      writeIndex(wave, prevIdx ++ updatedShards.map(_ -> wave))
+      writeIndex(wave, prevIdx ++ updatedShards)
       updatedShards
     }
     Await.result(fPending, Duration.Inf)
@@ -657,39 +670,49 @@ object Frontier {
         t
       }))
 
-  private[frontier] def shardFilePath(ckDir: String, wave: Int, shard: Int): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(ckDir, f"shards/wave=$wave/shard-$shard%05d.bin")
+  /** Relative level path → absolute Hadoop path under `shards/`. */
+  private[frontier] def levelPath(ckDir: String, rel: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(ckDir, s"shards/$rel")
 
-  /** Executor-side shard-state read (direct storage access, not a
-    * shuffle). `new Configuration()` picks up core-site defaults from
-    * the executor classpath on a real cluster; local paths need none. */
-  private[frontier] def loadShardState(ckDir: String, waveOpt: Option[Int],
-                                       shard: Int): SeenFilter.ShardState =
-    waveOpt match {
-      case None => SeenFilter.EmptyShardState
-      case Some(w) =>
-        val p = shardFilePath(ckDir, w, shard)
-        val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
-        try SeenFilter.readShardState(in) finally in.close()
-    }
+  private val LevelName = ".*-n(\\d+)\\.lvl".r
 
-  /** Executor-side shard-state write: temp file + rename. Task retries
-    * and wave re-runs produce byte-identical content, so any interleave
-    * of attempts converges on the same file. */
-  private[frontier] def storeShardState(ckDir: String, wave: Int, shard: Int,
-                                        s: SeenFilter.ShardState): Unit = {
-    val p = shardFilePath(ckDir, wave, shard)
+  /** Level key count parsed from the filename — merge decisions need
+    * no reads. */
+  private[frontier] def levelCountFromPath(rel: String): Int = rel match {
+    case LevelName(n) => n.toInt
+    case _            => throw new IllegalArgumentException(s"bad level path: $rel")
+  }
+
+  /** Executor-side level read (direct storage access, not a shuffle).
+    * `new Configuration()` picks up core-site defaults from the
+    * executor classpath on a real cluster; local paths need none. */
+  private[frontier] def loadLevel(ckDir: String, rel: String): SeenFilter.LevelProbe = {
+    val p = levelPath(ckDir, rel)
+    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    try SeenFilter.parseLevel(in.readAllBytes()) finally in.close()
+  }
+
+  /** Executor-side level write: temp file + rename, deterministic name
+    * `wave=<w>/s<shard>-n<count>.lvl` (one level per (wave, shard)).
+    * Task retries and wave re-runs produce byte-identical content, so
+    * any interleave of attempts converges on the same file. Returns
+    * the relative path for the index. */
+  private[frontier] def storeLevel(ckDir: String, wave: Int, shard: Int,
+                                   bytes: Array[Byte], count: Int): String = {
+    val rel = f"wave=$wave/s$shard%05d-n$count%010d.lvl"
+    val p = levelPath(ckDir, rel)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     fs.mkdirs(p.getParent)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent,
       s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try SeenFilter.writeShardState(out, s) finally out.close()
+    try out.write(bytes) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
-      require(fs.exists(p), s"shard state write lost: $p")
+      require(fs.exists(p), s"level write lost: $p")
     }
+    rel
   }
 
   /** Seed list extracted from the images table (north rule: the frontier

@@ -205,90 +205,24 @@ object SeenFilter {
   def mightContain(shardBytes: Array[Byte], key: String): Boolean =
     parse(shardBytes).mightContainHash(hashKey(key))
 
-  /** Build one shard from an iterator of keys: cuckoo first, bloom
-    * fallback if the cuckoo overflows (reference-north-rule behavior). */
-  def buildShard(keys: Iterator[String], expected: Long): Array[Byte] = {
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-    keys.foreach(k => buf += hashKey(k))
-    val cuckoo = Cuckoo.create(math.max(expected, buf.length))
-    var ok = true
-    val it = buf.iterator
-    while (ok && it.hasNext) ok = cuckoo.insertHash(it.next())
-    if (ok) cuckoo.serialize()
-    else {
-      val bloom = Bloom.create(math.max(expected, buf.length))
-      buf.foreach(bloom.insertHash)
-      bloom.serialize()
-    }
-  }
-
   // =================================================================
-  // Incremental shard chains
+  // LSM LEVELS — the storage unit of seen-set shard state
   // =================================================================
-  // A shard is a CHAIN of filter blobs: probes check every blob; new
-  // keys insert into the newest cuckoo blob, and when it fills a fresh
-  // blob (sized ≥ 2× the last) is appended. This makes per-wave filter
-  // maintenance O(new keys) instead of O(all seen keys) — at 10^10 URLs
-  // rebuilding every wave would dominate the wave.
-
-  def mightContainChain(blobs: Seq[Array[Byte]], key: String): Boolean = {
-    val h = hashKey(key)
-    blobs.exists(b => parse(b).mightContainHash(h))
-  }
-
-  /** Insert a STREAM of key hashes into the chain, appending a fresh
-    * geometrically-grown blob on overflow. Streaming matters: the caller
-    * (shard maintenance cogroup) never materializes a wave's keys — a hot
-    * wave's millions of new keys flow through O(1) memory beyond the
-    * filter tables themselves. */
-  def updateShardChainHashes(blobs: Seq[Array[Byte]], hashes: Iterator[Long]): Seq[Array[Byte]] = {
-    if (!hashes.hasNext) return blobs
-    val out = blobs.toBuffer
-    // resume inserting into the newest blob if it is a cuckoo
-    var cur: Cuckoo = null
-    if (out.nonEmpty && java.nio.ByteBuffer.wrap(out.last).getInt() == 0x43554b31) {
-      cur = Cuckoo.deserialize(out.remove(out.length - 1))
-    }
-    var lastCap: Long = if (cur != null) cur.numBuckets.toLong * 4 else 0L
-    while (hashes.hasNext) {
-      val h = hashes.next()
-      if (cur == null) {
-        cur = Cuckoo.create(math.max(lastCap * 2, 4096L))
-        lastCap = cur.numBuckets.toLong * 4
-      }
-      if (!cur.insertHash(h)) {
-        // insertHash rolled the table back; seal it and start a bigger one
-        out += cur.serialize()
-        cur = Cuckoo.create(math.max(lastCap * 2, 4096L))
-        lastCap = cur.numBuckets.toLong * 4
-        require(cur.insertHash(h), "insert into a fresh cuckoo cannot fail")
-      }
-    }
-    out += cur.serialize()
-    out.toSeq
-  }
-
-  /** Insert `keys` into the chain, appending a new blob on overflow. */
-  def updateShardChain(blobs: Seq[Array[Byte]], keys: Seq[String]): Seq[Array[Byte]] =
-    updateShardChainHashes(blobs, keys.iterator.map(hashKey))
-
-  // =================================================================
-  // Exact-hash sorted runs (the shard's EXACT membership)
-  // =================================================================
-  // 64-bit key hashes stored as a chain of SORTED runs, maintained with
-  // the logarithmic method (merge the newest runs whenever an incoming
-  // batch is at least as large): amortized O(log) inserts, O(log n)
-  // runs, binary-search probes. This lets seen-set membership be
-  // decided INSIDE the shard probe task, so a wave's seen-subtraction
-  // shuffles O(candidates) — never the 10^10-key seen store (r2's
-  // per-wave anti-join shuffled ~0.5-1 TB of SURT strings).
+  // A level is ONE immutable blob holding a cuckoo/bloom filter AND the
+  // sorted 64-bit hash run it was built from — created together, merged
+  // together (logarithmic policy: fold the newest levels whose counts
+  // the incoming batch reaches), retired together. Per-wave shard
+  // maintenance therefore writes ONE new level of O(batch) bytes
+  // (amortized O(log) with merges) and READS only the levels being
+  // merged — write amplification and update reads are O(fresh), never
+  // O(seen), at any seen-set size. Probes check each level: O(1)
+  // filter first, binary-searched exact run on filter hits.
   //
   // Exactness: membership is hash64 equality. A false drop needs a
   // 64-bit collision between a candidate and a DIFFERENT seen key:
   // P ≈ n_seen/2^64 ≈ 5e-10 per candidate at 10^10 seen keys — a
   // handful of falsely-skipped URLs over an entire crawl, each merely
-  // not fetched (state is never corrupted). The cuckoo chain stays as
-  // the O(1) prefilter: exact runs are only searched on filter hits.
+  // not fetched (state is never corrupted).
 
   private val RunMagic = 0x58435431 // "XCT1"
 
@@ -340,72 +274,85 @@ object SeenFilter {
     if (w == out.length) out else java.util.Arrays.copyOf(out, w)
   }
 
-  /** Insert a batch of hashes as a new sorted run, merging down runs no
-    * larger than the batch (logarithmic method). MUTATES `newHashes`
-    * (sorts in place) — callers pass a throwaway array. */
-  def updateExactRuns(runs: Seq[Array[Byte]], newHashes: Array[Long]): Seq[Array[Byte]] = {
-    if (newHashes.isEmpty) return runs
-    java.util.Arrays.sort(newHashes)
-    var merged = dedupSortedInPlace(newHashes)
-    val out = runs.toBuffer
-    while (out.nonEmpty && runCount(out.last) <= merged.length)
-      merged = mergeSorted(decodeRun(out.remove(out.length - 1)), merged)
-    out += encodeRun(merged)
-    out.toSeq
-  }
+  // ---- levels ----------------------------------------------------
 
-  /** Parsed probe over a run chain: binary search per run. */
-  final class ExactProbe(runs: Array[Array[Long]]) extends Serializable {
-    def contains(h: Long): Boolean = {
-      var i = 0
-      while (i < runs.length) {
-        if (java.util.Arrays.binarySearch(runs(i), h) >= 0) return true
-        i += 1
-      }
-      false
+  private val LevelMagic = 0x4c564c31 // "LVL1"
+
+  /** Build one level from a SORTED, DEDUPED hash array: cuckoo filter
+    * (bloom fallback on overflow — the north-rule contract) + the
+    * exact run, serialized together. */
+  def buildLevel(sortedDeduped: Array[Long]): Array[Byte] = {
+    val cuckoo = Cuckoo.create(math.max(sortedDeduped.length, 16))
+    var ok = true
+    var i = 0
+    while (ok && i < sortedDeduped.length) {
+      ok = cuckoo.insertHash(sortedDeduped(i)); i += 1
     }
-    def size: Long = { var s = 0L; runs.foreach(s += _.length); s }
-  }
-
-  def parseExact(blobs: Seq[Array[Byte]]): ExactProbe =
-    new ExactProbe(blobs.map(decodeRun).toArray)
-
-  // =================================================================
-  // Shard-state file format (filters chain + exact runs)
-  // =================================================================
-  // One compact binary blob per shard, stored as a FILE under the
-  // frontier checkpoint and read DIRECTLY by the task that probes that
-  // shard — shard state never rides a shuffle.
-
-  final case class ShardState(filters: Seq[Array[Byte]], exact: Seq[Array[Byte]]) {
-    def isEmpty: Boolean = filters.isEmpty && exact.isEmpty
-  }
-  val EmptyShardState: ShardState = ShardState(Nil, Nil)
-
-  private val ShardMagic = 0x47534831 // "GSH1"
-
-  def writeShardState(out: java.io.OutputStream, s: ShardState): Unit = {
-    val d = new java.io.DataOutputStream(new java.io.BufferedOutputStream(out, 1 << 16))
-    d.writeInt(ShardMagic)
-    d.writeInt(s.filters.length)
-    s.filters.foreach { b => d.writeInt(b.length); d.write(b) }
-    d.writeInt(s.exact.length)
-    s.exact.foreach { b => d.writeInt(b.length); d.write(b) }
-    d.flush()
-  }
-
-  def readShardState(in: java.io.InputStream): ShardState = {
-    val d = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
-    require(d.readInt() == ShardMagic, "bad shard-state magic")
-    def blobs(): Seq[Array[Byte]] = {
-      val n = d.readInt()
-      (0 until n).map { _ =>
-        val len = d.readInt()
-        val b = new Array[Byte](len)
-        d.readFully(b)
-        b
+    val filter =
+      if (ok) cuckoo.serialize()
+      else {
+        val bloom = Bloom.create(math.max(sortedDeduped.length, 16))
+        sortedDeduped.foreach(bloom.insertHash)
+        bloom.serialize()
       }
+    val run = encodeRun(sortedDeduped)
+    val bb = java.nio.ByteBuffer.allocate(16 + filter.length + run.length)
+    bb.putInt(LevelMagic)
+    bb.putInt(sortedDeduped.length)
+    bb.putInt(filter.length)
+    bb.put(filter)
+    bb.put(run)
+    bb.array()
+  }
+
+  /** Parsed level: O(1) filter prefilter, exact binary search on hit. */
+  final class LevelProbe(filter: Probe, run: Array[Long]) extends Serializable {
+    def contains(h: Long): Boolean =
+      filter.mightContainHash(h) && java.util.Arrays.binarySearch(run, h) >= 0
+    def count: Int = run.length
+    def hashes: Array[Long] = run
+  }
+
+  def parseLevel(bytes: Array[Byte]): LevelProbe = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.getInt() == LevelMagic, "bad level magic")
+    bb.getInt() // count (redundant with run header)
+    val flen = bb.getInt()
+    val filter = new Array[Byte](flen)
+    bb.get(filter)
+    val run = new Array[Byte](bb.remaining())
+    bb.get(run)
+    new LevelProbe(parse(filter), decodeRun(run))
+  }
+
+  def levelCount(bytes: Array[Byte]): Int = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.getInt() == LevelMagic, "bad level magic")
+    bb.getInt()
+  }
+
+  /** Logarithmic-merge decision from level counts (oldest→newest):
+    * how many NEWEST levels fold into a batch of `batchSize`. A level
+    * merges when its count is ≤ the accumulated (batch + newer
+    * levels) size — identical to the classic logarithmic method, so
+    * level count stays O(log n) and merge work amortizes to O(1) per
+    * key per level. */
+  def levelsToMerge(counts: Seq[Int], batchSize: Int): Int = {
+    var k = 0
+    var acc = batchSize.toLong
+    while (k < counts.length && counts(counts.length - 1 - k) <= acc) {
+      acc += counts(counts.length - 1 - k)
+      k += 1
     }
-    ShardState(blobs(), blobs())
+    k
+  }
+
+  /** Sort+dedup a batch in place, then fold it with the runs of the
+    * merged levels (oldest-first merge keeps the arrays sorted). */
+  def mergeIntoRun(batch: Array[Long], mergedLevelRuns: Seq[Array[Long]]): Array[Long] = {
+    java.util.Arrays.sort(batch)
+    var acc = dedupSortedInPlace(batch)
+    mergedLevelRuns.foreach(r => acc = mergeSorted(r, acc))
+    acc
   }
 }

@@ -44,68 +44,46 @@ class SeenFilterSpec extends AnyFunSuite {
     inserted.foreach(h => assert(c.mightContainHash(h), "later failure lost a key"))
   }
 
-  test("updateShardChainHashes: streaming inserts, chain grows, no false negatives") {
-    var chain: Seq[Array[Byte]] = Seq.empty
-    val all = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (w <- 0 until 5) {
-      val keys = (0 until 3000).map(i => s"w$w-k$i")
-      all ++= keys
-      chain = SeenFilter.updateShardChainHashes(chain, keys.iterator.map(SeenFilter.hashKey))
-    }
-    all.foreach(k => assert(SeenFilter.mightContainChain(chain, k), s"chain lost $k"))
-    assert(chain.length >= 2, "chain should have appended blobs on overflow")
-    val fp = (0 until 10000).count(i => SeenFilter.mightContainChain(chain, s"absent$i"))
-    assert(fp < 100, s"chain FP rate too high: $fp/10000")
-  }
-
-  test("buildShard: cuckoo primary, bloom fallback on overflow") {
-    val shard = SeenFilter.buildShard(Iterator("a", "b", "c"), 3)
-    assert(java.nio.ByteBuffer.wrap(shard).getInt() == 0x43554b31)
-    assert(SeenFilter.mightContain(shard, "a"))
-    assert(!SeenFilter.mightContain(shard, "zzz"))
-    // overflow: expected=4 buckets but many keys → falls back to bloom
-    val keys = (0 until 100000).map(i => s"key$i")
-    val forced = {
-      val cuckoo = SeenFilter.Cuckoo.create(16)
-      var ok = true
-      val it = keys.iterator
-      while (ok && it.hasNext) ok = cuckoo.insertHash(SeenFilter.hashKey(it.next()))
-      ok
-    }
-    assert(!forced, "tiny cuckoo should overflow")
-  }
-
-  test("exact runs: sorted-run chain has exact membership, logarithmic run count") {
-    var runs: Seq[Array[Byte]] = Nil
+  test("LSM levels: exact membership across merges, logarithmic level count") {
+    // simulate 40 waves of uneven batches through the level lifecycle:
+    // merge decision from counts, load-only-merged, rebuild one level
+    var paths: Seq[(Int, Array[Byte])] = Nil // (count, encoded level)
     val rnd = new scala.util.Random(11)
     val inserted = scala.collection.mutable.Set.empty[Long]
-    // 40 waves of uneven batches — the logarithmic merge must keep the
-    // chain short while preserving exact membership
     for (w <- 0 until 40) {
       val batch = Array.fill(1 + rnd.nextInt(500))(rnd.nextLong())
       inserted ++= batch
-      runs = SeenFilter.updateExactRuns(runs, batch)
+      val k = SeenFilter.levelsToMerge(paths.map(_._1), batch.length)
+      val (retained, merged) = paths.splitAt(paths.length - k)
+      val mergedRuns = merged.map(m => SeenFilter.parseLevel(m._2).hashes)
+      val run = SeenFilter.mergeIntoRun(batch, mergedRuns.reverse)
+      paths = retained :+ ((run.length, SeenFilter.buildLevel(run)))
     }
-    val probe = SeenFilter.parseExact(runs)
-    inserted.foreach(h => assert(probe.contains(h), s"exact run lost $h"))
+    val probes = paths.map(pp => SeenFilter.parseLevel(pp._2))
+    inserted.foreach(h => assert(probes.exists(_.contains(h)), s"levels lost $h"))
     val absent = (0 until 10000).map(i => SeenFilter.hashKey(s"absent$i")).filterNot(inserted)
-    absent.foreach(h => assert(!probe.contains(h), "exact run FALSE POSITIVE — must be exact"))
-    assert(runs.length <= 16, s"run chain too long: ${runs.length} (log merge broken?)")
-    assert(probe.size == inserted.size.toLong)
+    absent.foreach(h => assert(!probes.exists(_.contains(h)),
+      "level FALSE POSITIVE - membership must be exact"))
+    assert(paths.length <= 16, s"level chain too long: ${paths.length} (log merge broken?)")
+    assert(probes.map(_.count.toLong).sum == inserted.size.toLong)
+    // counts encoded in the blob match the runs
+    paths.foreach { case (n, bytes) => assert(SeenFilter.levelCount(bytes) == n) }
   }
 
-  test("shard-state file round-trip: filters + exact runs") {
+  test("buildLevel: cuckoo filter prefilters, bloom fallback path works") {
     val hashes = (0 until 5000).map(i => SeenFilter.hashKey(s"k$i")).toArray
-    val filters = SeenFilter.updateShardChainHashes(Nil, hashes.iterator)
-    val exact = SeenFilter.updateExactRuns(Nil, hashes.clone())
-    val st = SeenFilter.ShardState(filters, exact)
-    val bos = new java.io.ByteArrayOutputStream()
-    SeenFilter.writeShardState(bos, st)
-    val back = SeenFilter.readShardState(new java.io.ByteArrayInputStream(bos.toByteArray))
-    assert(back.filters.map(_.toSeq) == st.filters.map(_.toSeq))
-    assert(back.exact.map(_.toSeq) == st.exact.map(_.toSeq))
-    val probe = SeenFilter.parseExact(back.exact)
-    hashes.foreach(h => assert(probe.contains(h)))
+    java.util.Arrays.sort(hashes)
+    val lvl = SeenFilter.parseLevel(SeenFilter.buildLevel(hashes))
+    hashes.foreach(h => assert(lvl.contains(h)))
+    assert(!(5000 until 15000).exists(i => lvl.contains(SeenFilter.hashKey(s"k$i"))))
+    // bloom fallback engages when a cuckoo cannot hold the set: force
+    // it by observing a tiny cuckoo overflow, then bloom exactness is
+    // still guaranteed by the run binary search
+    val tiny = SeenFilter.Cuckoo.create(16)
+    var ok = true
+    var i = 0
+    while (ok && i < 100000) { ok = tiny.insertHash(SeenFilter.hashKey(s"key$i")); i += 1 }
+    assert(!ok, "tiny cuckoo should overflow (bloom fallback trigger)")
   }
 }
 
@@ -290,6 +268,31 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toVector
     assert(wave6redo == wave6, "post-compaction resume diverged")
     assert(f.seenDf(6).collect().map(_.getString(0)).sorted.toVector == before)
+  }
+
+  test("shard maintenance writes O(fresh) per wave: level files reused across waves") {
+    val ckDir = tmpDir("lsm")
+    val cfg = FrontierConfig(checkpointDir = ckDir, hostBudget = 3, seenShards = 16,
+      fastMode = true)
+    val f = new Frontier(spark, cfg)
+    f.initialize(Frontier.syntheticSeeds(spark, 100000))
+    f.runWave(); f.runWave()
+    def lvlBytes(p: Path): Long =
+      if (!Files.exists(p)) 0L
+      else Files.walk(p).iterator().asScala
+        .filter(q => q.toString.endsWith(".lvl")).map(Files.size(_)).sum
+    val total = lvlBytes(Paths.get(ckDir, "shards"))
+    val wave2 = lvlBytes(Paths.get(ckDir, "shards", "wave=2"))
+    assert(wave2 > 0, "wave 2 must write its fresh keys")
+    // wave 2's fresh batch is a small fraction of the 100k-key state;
+    // a full-state rewrite per wave would put ~total here
+    assert(wave2 < total / 3,
+      s"wave-2 level writes $wave2 B of $total B total state — not O(fresh)")
+    // and the index must still reference untouched init-time levels
+    val idxLines = Files.readAllLines(
+      Paths.get(ckDir, "shards", "wave=2", "INDEX.txt")).asScala
+    assert(idxLines.exists(_.contains("wave=0/")),
+      "no level reuse across waves — every shard was rewritten")
   }
 
   test("seen-subtraction shuffle is O(candidates), not O(seen) — stage-metric assert") {
