@@ -13,10 +13,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *     → canonicalize (WHATWG normalize) → SURT key → host
   *     → in-batch dedup (groupBy surt, deterministic min)
   *     → seen-set subtraction: candidates shuffle by shard id ONLY;
-  *       each task loads its shard's state file (cuckoo/bloom chain +
-  *       exact 64-bit hash runs) directly from storage and decides
-  *       membership in-task — no anti-join against the seen store, no
-  *       shard state in the shuffle, no filter state on the driver
+  *       each task loads its shard's LSM level files (each level =
+  *       cuckoo/bloom filter + exact 64-bit hash run) directly from
+  *       storage and decides membership in-task — no anti-join against
+  *       the seen store, no shard state in the shuffle, no filter
+  *       state on the driver
   *     → robots filter (executor-side rule join)
   *     → per-host politeness budget: two-phase top-K (salted local top-K
   *       then host-level top-K) so one hot host cannot skew a partition
@@ -285,10 +286,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     * host per surt — the same deterministic tie-breaks a separate
     * `groupBy(surt).agg(min…)` stage computed, whose whole extra
     * shuffle of the candidate set this fusion deletes). Each group's
-    * task then loads its shard's state file directly and decides
-    * membership IN-TASK: the cuckoo/bloom chain prefilters (O(1) per
-    * key, mostly-negative), and only filter hits binary-search the
-    * exact hash runs. No anti-join against the seen store exists — a
+    * task then loads its shard's level files directly and decides
+    * membership IN-TASK: per level, the cuckoo/bloom filter
+    * prefilters (O(1) per key, mostly-negative), and only filter hits
+    * binary-search that level's exact hash run. No anti-join against the seen store exists — a
     * wave's seen-subtraction shuffle is O(candidates) at ANY seen-set
     * size (r2 shuffled the full 10^10-key seen store through a
     * SortMergeJoin every wave). The driver holds no filter state;
@@ -637,8 +638,9 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
 
   /** Seen-membership probe: the fresh (never-seen) subset of `urls`
     * (url, priority) as of the latest committed wave — the wave's
-    * subtraction step standalone. Shuffles O(probe urls) only; each
-    * task loads its shard's state file directly. */
+    * subtraction step standalone (in-batch deduped, like the wave).
+    * Shuffles O(probe urls) only; each task loads its shard's level
+    * files directly. */
   def freshOnly(urls: DataFrame): DataFrame = {
     val prev = latestCommittedWave()
     require(prev >= 0, "frontier not initialized")
