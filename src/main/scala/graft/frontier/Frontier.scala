@@ -197,6 +197,12 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       val p = Frontier.levelPath(cfg.checkpointDir, rel)
       try { p.getFileSystem(conf).delete(p, false); () } catch { case _: Exception => }
     }
+    // index files older than wave-2 are unreachable from any resume
+    // path (resume reads at most index(N-1); prune reads N-1 and N-2)
+    if (wave >= 3) {
+      val idx = indexFilePath(wave - 3)
+      try { idx.getFileSystem(conf).delete(idx, false); () } catch { case _: Exception => }
+    }
   }
 
   /** Compacted base (`seen_base/upto=B`) + per-wave seen DELTAS for
