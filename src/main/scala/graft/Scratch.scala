@@ -15,19 +15,25 @@ object Scratch {
 
   val Root: Path = Paths.get(sys.env.getOrElse("GRAFT_SCRATCH_ROOT", "/tmp/graft-scratch"))
 
-  /** Entries older than this are assumed leaked by a dead JVM. Kept
-    * long enough that a concurrent live JVM's scratch is never touched
-    * (no single bench/test invocation runs anywhere near this long). */
-  private val StaleMs = 2L * 3600 * 1000
+  /** Age fallback for entries with no readable owner pid (liveness is
+    * primarily decided by whether the owning PROCESS is still alive —
+    * sessions here can legitimately hold scratch for many hours). */
+  private val StaleMs = 24L * 3600 * 1000
 
   private val mine = scala.collection.concurrent.TrieMap.empty[Path, Unit]
   @volatile private var initialized = false
 
-  /** A fresh scratch dir `<root>/<prefix>…`, deleted at JVM exit. */
+  /** A fresh scratch dir `<root>/<prefix>…`, deleted at JVM exit. An
+    * `.owner-pid` marker inside lets a later JVM's prune distinguish
+    * crash-leaked dirs (owner dead → delete) from dirs a concurrent
+    * live session still reads. */
   def dir(prefix: String): Path = {
     ensureInit()
     Files.createDirectories(Root)
     val p = Files.createTempDirectory(Root, prefix + "-")
+    try Files.writeString(p.resolve(".owner-pid"),
+      ProcessHandle.current().pid().toString)
+    catch { case _: Exception => }
     mine.put(p, ())
     p
   }
@@ -48,16 +54,31 @@ object Scratch {
     }
   }
 
-  /** Remove leaked entries from previous (crashed) JVMs. */
+  /** Remove leaked entries whose owning process is DEAD (crashed JVMs
+    * never run their exit hook); entries without a readable owner pid
+    * fall back to a conservative age check. Live sessions' scratch is
+    * never touched, however old. */
   private def pruneStale(): Unit = {
     if (!Files.isDirectory(Root)) return
     val cutoff = System.currentTimeMillis() - StaleMs
-    val it = Files.list(Root).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      val mtime = try Files.getLastModifiedTime(p).toMillis catch { case _: Exception => Long.MaxValue }
-      if (mtime < cutoff) deleteRecursively(p)
-    }
+    val listing = Files.list(Root)
+    try {
+      val it = listing.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val ownerDead =
+          try {
+            val pid = Files.readString(p.resolve(".owner-pid")).trim.toLong
+            !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+          } catch {
+            case _: Exception => // no/bad marker: age fallback
+              val mtime = try Files.getLastModifiedTime(p).toMillis
+                catch { case _: Exception => Long.MaxValue }
+              mtime < cutoff
+          }
+        if (ownerDead) deleteRecursively(p)
+      }
+    } finally listing.close()
   }
 
   def deleteRecursively(p: Path): Unit = {

@@ -596,8 +596,14 @@ object SparkEntry {
         "doc_id", "text", maxDist = 4)
         .select($"id_a", $"id_b")
       pairs.write.mode("overwrite").parquet(StageDir + "/q42_pairs.parquet")
+      // maxIter 50: the near-dup graph can chain similar documents
+      // into components of diameter > 10; the loop exits early on
+      // convergence, so headroom costs nothing — and requireConverged
+      // turns any residual non-convergence into a loud failure instead
+      // of a silent oracle mismatch
       Dedup.keepPerComponent(Dedup.connectedComponents(
-          sp.read.parquet(StageDir + "/q42_pairs.parquet")))
+          sp.read.parquet(StageDir + "/q42_pairs.parquet"),
+          maxIter = 50, requireConverged = true))
         .orderBy($"id")
     }),
     // ---- seen-set membership probe (the wave's subtract step

@@ -240,9 +240,13 @@ object WarcStreaming {
         * ≤64 KiB chunks `(buf, off, len)` instead of being skipped —
         * the lazy-payload path: a multi-GB body streams through O(64
         * KiB) of task memory (chunked `MessageDigest.update`,
-        * re-serialization, …). Receives the payload of EVERY record
-        * the iterator advances over; single-record uses (pointer
-        * re-reads) pull exactly one record. */
+        * re-serialization, …). Scoped to the FIRST record parsed from
+        * the stream ONLY — for a gzip member spanning several records
+        * the iterator must parse ahead before emitting record 1, and
+        * an unscoped sink would silently concatenate those payloads.
+        * Premature EOF inside a sinked payload THROWS (a pointer
+        * re-read expects a complete record; a silent short digest
+        * would report truncation as a clean result). */
       payloadSink: (Array[Byte], Int, Int) => Unit = null
   ): Iterator[FramedRecord] = {
     val pin = new java.io.PushbackInputStream(in, 2)
@@ -275,6 +279,9 @@ object WarcStreaming {
     private var exhausted = false
     private var closed = false
     private var pendingLine: Line = null // lookahead version line
+    // the payload sink is scoped to the FIRST record's payload (see
+    // parseStream doc); set after that record's payload is consumed
+    private var sinkDone = false
 
     override def hasNext: Boolean = { advance(); ready.nonEmpty }
     override def next(): FramedRecord = { advance(); ready.dequeue() }
@@ -337,7 +344,7 @@ object WarcStreaming {
     private def readPayload(n: Long): Array[Byte] = {
       if (n <= 0) return Array.emptyByteArray
       if (!keepPayload) {
-        if (payloadSink == null) { feed.skip(n); return Array.emptyByteArray }
+        if (payloadSink == null || sinkDone) { feed.skip(n); return Array.emptyByteArray }
         // lazy-payload streaming: chunk through the sink, O(64 KiB)
         // memory at ANY payload size (no JVM-array cap on this path)
         val tmp = new Array[Byte](1 << 16)
@@ -349,6 +356,10 @@ object WarcStreaming {
           payloadSink(tmp, 0, r)
           remaining -= r
         }
+        if (remaining > 0)
+          throw new java.io.EOFException(
+            s"payload truncated in $filename: $remaining of $n bytes missing " +
+              "(pointer re-read expects a complete record)")
         return Array.emptyByteArray
       }
       // eager (materializing) path only: bounded by the JVM array limit
@@ -432,6 +443,7 @@ object WarcStreaming {
         payload = readPayload(contentLength)
       }
 
+      sinkDone = true // only the first record's payload feeds the sink
       val recStart = first.start
       val payloadEnd = feed.pos
       val endMember = feed.memberIdx

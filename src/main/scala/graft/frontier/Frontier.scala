@@ -241,13 +241,16 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     if (!Files.exists(d)) return None
     val re = "SEEN_BASE-(\\d+)\\.json".r
     var best = -1
-    val it = Files.list(d).iterator()
-    while (it.hasNext) {
-      it.next().getFileName.toString match {
-        case re(n) if n.toInt <= wave => best = math.max(best, n.toInt)
-        case _                       =>
+    val listing = Files.list(d)
+    try {
+      val it = listing.iterator()
+      while (it.hasNext) {
+        it.next().getFileName.toString match {
+          case re(n) if n.toInt <= wave => best = math.max(best, n.toInt)
+          case _                       =>
+        }
       }
-    }
+    } finally listing.close()
     if (best < 0) None else Some(best)
   }
 
@@ -330,15 +333,19 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         java.lang.Math.floorMod(SeenFilter.hashKey(c._1), groups).toInt)
       .flatMapGroups { (group, cs) =>
         val shard = group % n
-        // in-batch dedup: min per field, mirroring groupBy(surt).agg(min…)
+        // in-batch dedup: min per field, mirroring groupBy(surt).agg(min…).
+        // String mins use CODE-POINT order (= Spark's UTF8String binary
+        // order), not Java's UTF-16 order — they differ for
+        // supplementary-plane characters, and the representative must
+        // match what a SQL-side min over the same data would keep.
         val agg = new java.util.HashMap[String, Array[AnyRef]]()
         cs.foreach { c =>
           val cur = agg.get(c._1)
           if (cur == null)
             agg.put(c._1, Array[AnyRef](c._2, c._3, Integer.valueOf(c._4)))
           else {
-            if (c._2 < cur(0).asInstanceOf[String]) cur(0) = c._2
-            if (c._3 < cur(1).asInstanceOf[String]) cur(1) = c._3
+            if (Frontier.codePointLess(c._2, cur(0).asInstanceOf[String])) cur(0) = c._2
+            if (Frontier.codePointLess(c._3, cur(1).asInstanceOf[String])) cur(1) = c._3
             if (c._4 < cur(2).asInstanceOf[Integer].intValue()) cur(2) = Integer.valueOf(c._4)
           }
         }
@@ -459,14 +466,17 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val d = Paths.get(cfg.checkpointDir)
     if (!Files.exists(d)) return -1
     val re = "MANIFEST-(\\d+)\\.json".r
-    val it = Files.list(d).iterator()
     var best = -1
-    while (it.hasNext) {
-      it.next().getFileName.toString match {
-        case re(n) => best = math.max(best, n.toInt)
-        case _     =>
+    val listing = Files.list(d)
+    try {
+      val it = listing.iterator()
+      while (it.hasNext) {
+        it.next().getFileName.toString match {
+          case re(n) => best = math.max(best, n.toInt)
+          case _     =>
+        }
       }
-    }
+    } finally listing.close()
     best
   }
 
@@ -677,6 +687,27 @@ object Frontier {
         t.setDaemon(true)
         t
       }))
+
+  /** `a < b` in Unicode CODE-POINT order — identical to UTF-8 binary
+    * order (UTF-8 preserves code-point order), which is what Spark's
+    * UTF8String-backed `min` compares. Java String `<` compares UTF-16
+    * code units, which inverts supplementary-plane vs U+E000–U+FFFF. */
+  private[frontier] def codePointLess(a: String, b: String): Boolean =
+    CodePointOrder.compare(a, b) < 0
+
+  private val CodePointOrder: java.util.Comparator[CharSequence] = { (a, b) =>
+    val la = a.length; val lb = b.length
+    var i = 0; var j = 0
+    var r = 0
+    while (r == 0 && i < la && j < lb) {
+      val ca = Character.codePointAt(a, i)
+      val cb = Character.codePointAt(b, j)
+      r = Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    if (r != 0) r else Integer.compare(la - i, lb - j)
+  }
 
   /** Relative level path → absolute Hadoop path under `shards/`. */
   private[frontier] def levelPath(ckDir: String, rel: String): org.apache.hadoop.fs.Path =

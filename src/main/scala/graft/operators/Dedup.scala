@@ -298,12 +298,16 @@ object Dedup {
   def simhashPairsFromHashes(withSh: DataFrame, maxDist: Int = 3,
                              maxBucket: Int = 1000,
                              truncAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, s"maxDist=$maxDist out of range [0,31]")
     val acc = truncAcc.getOrElse(truncationAccumulator(withSh, "graft.dedup.simhash.truncated_docs"))
     val chunks = maxDist + 1
     val bits = 64 / chunks
+    // JVM shifts are mod 64: 1L<<64 == 1, so the maxDist=0 single-chunk
+    // mask must be spelled out as all-ones
+    val mask = if (bits >= 64) -1L else (1L << bits) - 1
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
-        col("sh").bitwiseAND(lit(((1L << bits) - 1) << (c * bits))).as("ck"))
+        col("sh").bitwiseAND(lit(mask << (c * bits))).as("ck"))
     }
     val exploded = withSh.withColumn("k", explode(array(chunkCols: _*)))
       .select(col("k.chunk"), col("k.ck"), col("id"), col("sh"))

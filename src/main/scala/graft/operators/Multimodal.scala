@@ -98,12 +98,15 @@ object Multimodal {
     require(maxDist >= 0 && maxDist < 32, s"maxDist=$maxDist out of range [0,31]")
     val chunks = maxDist + 1
     val bits = 64 / chunks
+    // JVM shifts are mod 64: 1L<<64 == 1, so the maxDist=0 single-chunk
+    // mask must be spelled out as all-ones
+    val mask = if (bits >= 64) -1L else (1L << bits) - 1
     val spark = feats.sparkSession
     val acc = truncAcc.getOrElse(
       spark.sparkContext.longAccumulator("graft.multimodal.phash.truncated_docs"))
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
-        col("phash").bitwiseAND(lit(((1L << bits) - 1) << (c * bits))).as("ck"))
+        col("phash").bitwiseAND(lit(mask << (c * bits))).as("ck"))
     }
     val exploded = feats
       .withColumn("k", explode(array(chunkCols: _*)))

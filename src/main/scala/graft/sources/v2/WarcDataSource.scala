@@ -80,7 +80,11 @@ object WarcSchema {
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
       if (fs.isDirectory(hp))
-        fs.listStatus(hp).filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+        fs.listStatus(hp).filter(_.isFile)
+          // Hadoop convention: dot/underscore files are metadata
+          // (markers, _SUCCESS, .crc), never data
+          .filter(st => { val n = st.getPath.getName; !n.startsWith(".") && !n.startsWith("_") })
+          .map(_.getPath.toString).sorted.toSeq
       else Seq(p)
     }
   }

@@ -113,6 +113,20 @@ class ImageSpec extends AnyFunSuite with SparkTestBase {
     assert(dups.exists(r => r.getAs[String]("id_a") == "dup0" && r.getAs[String]("id_b") == "dup1"))
   }
 
+  test("maxDist = 0 single-chunk mask is all 64 bits (1L<<64 wraps to 1)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val base = (0 until 50).map(i => (f"a$i%03d", rnd.nextLong()))
+    val dups = base.take(10).zipWithIndex.map { case ((_, h), i) => (f"d$i%03d", h) }
+    val got = Multimodal.imageNearDupsFromHashes(
+        (base ++ dups).toDF("image_id", "phash"), maxDist = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // exactly the 10 exact-hash pairs — a zero mask would have bucketed
+    // ALL rows together and still passed small cases by brute force
+    assert(got == base.take(10).zipWithIndex
+      .map { case ((a, _), i) => (a, f"d$i%03d") }.toSet)
+  }
+
   test("phash pigeonhole recall is exactly 1 at the DEFAULT maxDist = 6") {
     // r2 verdict: the old 4-chunk layout broke the guarantee above
     // distance 3 — chunks = maxDist+1 must equal all-pairs hamming

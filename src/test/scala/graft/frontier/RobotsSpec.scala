@@ -135,6 +135,32 @@ class RobotsSpec extends AnyFunSuite with SparkTestBase {
     assert(gated.count() == n / 2) // only /private/ok and /pub survive
   }
 
+  test("matchLen is linear: hostile wildcard patterns cannot backtrack-DoS") {
+    // robots.txt is third-party input — this pattern/path pair makes a
+    // backtracking regex explore combinatorially many split points
+    val pattern = "/" + ("*a" * 20) + "$"
+    val path = "/" + ("a" * 2000) + "b"
+    val t0 = System.nanoTime()
+    assert(matchLen(pattern, path) == -1) // ends with b, anchor fails
+    assert(matchLen(pattern, "/" + ("a" * 2000)) == pattern.length)
+    assert((System.nanoTime() - t0) / 1e9 < 1.0, "matcher not linear")
+    // overlap guard: the pinned suffix may not eat the matched prefix
+    assert(matchLen("/a*ab$", "/ab") == -1)
+    assert(matchLen("/*aa$", "/aa") == 5) // '*' matches empty
+  }
+
+  test("duplicate host rows in the robots table do not multiply URLs") {
+    import spark.implicits._
+    val urls = Seq(("a.org", "/private/x"), ("a.org", "/pub")).toDF("host", "path")
+    val robots = Seq(
+      ("a.org", "User-agent: *\nDisallow: /private"),
+      ("a.org", "User-agent: *\nDisallow: /private") // fetched twice
+    ).toDF("host", "robots_txt")
+    val kept = Robots.applyRobots(urls, robots, "host", "path").collect()
+    assert(kept.length == 1 && kept.head.getString(1) == "/pub",
+      s"duplicate robots row multiplied URLs: ${kept.mkString(",")}")
+  }
+
   test("crawlDelays extraction") {
     import spark.implicits._
     val robots = Seq(("a.org", txt), ("b.org", "User-agent: *\nDisallow: /x")).toDF("host", "robots_txt")

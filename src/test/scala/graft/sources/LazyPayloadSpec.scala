@@ -47,6 +47,39 @@ class LazyPayloadSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-record gzip member: sink receives ONLY the first record's payload") {
+    // non-conformant layout: one gzip member spanning two records — the
+    // iterator parses ahead before emitting record 1, and the sink must
+    // not concatenate record 2's payload into record 1's digest
+    val dir = graft.Scratch.dir("lazypayload-multi")
+    val b1 = "first-record-payload".getBytes("UTF-8")
+    val b2 = "SECOND-record-payload-different".getBytes("UTF-8")
+    val r1 = WarcWriter.create(url = "https://ex.org/1", date = "2020-01-01T00:00:00Z",
+      warcType = "resource", payload = b1)
+    val r2 = WarcWriter.create(url = "https://ex.org/2", date = "2020-01-01T00:00:01Z",
+      warcType = "resource", payload = b2)
+    val plain = WarcWriter.serialize(r1, WarcWriter.CdxDigest) ++
+      WarcWriter.serialize(r2, WarcWriter.CdxDigest)
+    val f = dir.resolve("multi.warc.gz")
+    java.nio.file.Files.write(f, graft.core.GzipMembers.gzipMember(plain))
+    val (digest, len) = LazyPayload.digestPayloadAt(f.toString, 0)
+    assert(len == b1.length.toLong, s"sink leaked past record 1: $len bytes")
+    assert(digest == sha1b32(b1))
+  }
+
+  test("truncated payload at a pointer THROWS instead of returning a short digest") {
+    val dir = graft.Scratch.dir("lazypayload-trunc")
+    val body = ("y" * 50000).getBytes("UTF-8")
+    val r = WarcWriter.create(url = "https://ex.org/t", date = "2020-01-01T00:00:00Z",
+      warcType = "resource", payload = body)
+    val full = WarcWriter.serialize(r, WarcWriter.CdxDigest)
+    val f = dir.resolve("trunc.warc")
+    java.nio.file.Files.write(f, full.take(full.length - 20000)) // cut mid-payload
+    intercept[java.io.EOFException] {
+      LazyPayload.digestPayloadAt(f.toString, 0)
+    }
+  }
+
   test("pointer re-read works on plain (non-gzip) warcs and http payloads") {
     val dir = graft.Scratch.dir("lazypayload-plain")
     val body = ("x" * 100000).getBytes("UTF-8")
