@@ -691,22 +691,22 @@ object Frontier {
   /** `a < b` in Unicode CODE-POINT order — identical to UTF-8 binary
     * order (UTF-8 preserves code-point order), which is what Spark's
     * UTF8String-backed `min` compares. Java String `<` compares UTF-16
-    * code units, which inverts supplementary-plane vs U+E000–U+FFFF. */
-  private[frontier] def codePointLess(a: String, b: String): Boolean =
-    CodePointOrder.compare(a, b) < 0
-
-  private val CodePointOrder: java.util.Comparator[CharSequence] = { (a, b) =>
-    val la = a.length; val lb = b.length
-    var i = 0; var j = 0
-    var r = 0
-    while (r == 0 && i < la && j < lb) {
-      val ca = Character.codePointAt(a, i)
-      val cb = Character.codePointAt(b, j)
-      r = Integer.compare(ca, cb)
-      i += Character.charCount(ca)
-      j += Character.charCount(cb)
+    * code units, which inverts supplementary-plane vs U+E000–U+FFFF;
+    * the fix-up below remaps the first differing units so surrogates
+    * (and therefore supplementary code points) sort last — the
+    * standard O(1)-after-common-prefix UTF-16-as-UTF-8 comparison. */
+  private[frontier] def codePointLess(a: String, b: String): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+    if (i == n) return a.length < b.length
+    var ca = a.charAt(i).toInt
+    var cb = b.charAt(i).toInt
+    if (ca >= 0xd800 && cb >= 0xd800) {
+      ca += (if (ca < 0xe000) 0x2000 else -0x800)
+      cb += (if (cb < 0xe000) 0x2000 else -0x800)
     }
-    if (r != 0) r else Integer.compare(la - i, lb - j)
+    ca < cb
   }
 
   /** Relative level path → absolute Hadoop path under `shards/`. */

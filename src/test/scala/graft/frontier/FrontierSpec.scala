@@ -70,6 +70,17 @@ class SeenFilterSpec extends AnyFunSuite {
     paths.foreach { case (n, bytes) => assert(SeenFilter.levelCount(bytes) == n) }
   }
 
+  test("codePointLess matches UTF-8 binary order (supplementary vs U+E000+)") {
+    val bmp = "x"          // U+E000 (private use, BMP)
+    val supp = "x😀"   // U+1F600 (supplementary)
+    assert(bmp.compareTo(supp) > 0, "UTF-16 order inverts this pair")
+    assert(Frontier.codePointLess(bmp, supp), "UTF-8 order: U+E000 < U+1F600")
+    assert(!Frontier.codePointLess(supp, bmp))
+    assert(Frontier.codePointLess("a", "ab") && !Frontier.codePointLess("ab", "a"))
+    assert(!Frontier.codePointLess("a", "a"))
+    assert(Frontier.codePointLess("abc", "abd"))
+  }
+
   test("buildLevel: cuckoo filter prefilters, bloom fallback path works") {
     val hashes = (0 until 5000).map(i => SeenFilter.hashKey(s"k$i")).toArray
     java.util.Arrays.sort(hashes)
