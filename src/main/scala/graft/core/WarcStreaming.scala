@@ -247,7 +247,13 @@ object WarcStreaming {
         * Premature EOF inside a sinked payload THROWS (a pointer
         * re-read expects a complete record; a silent short digest
         * would report truncation as a clean result). */
-      payloadSink: (Array[Byte], Int, Int) => Unit = null
+      payloadSink: (Array[Byte], Int, Int) => Unit = null,
+      /** Narrows the sink to the first record whose (statusline, WARC
+        * headers) satisfy this predicate — needed because scan offsets
+        * are MEMBER-granular: for a gzip member spanning several
+        * records, a pointer to record k must select k by identity
+        * (e.g. WARC-Record-ID), not by position. null = first record. */
+      sinkWhen: (String, Seq[HeaderKV]) => Boolean = null
   ): Iterator[FramedRecord] = {
     val pin = new java.io.PushbackInputStream(in, 2)
     val b0 = pin.read()
@@ -257,7 +263,7 @@ object WarcStreaming {
     val gz = isGzip || (b0 == 0x1f && b1 == 0x8b)
     val feed: Feed = if (gz) new GzipFeed(pin, rawBase) else new PlainFeed(pin)
     new RecordIterator(feed, pin, filename, gz, keepCase, keepPayload, strictHeaders,
-      payloadSink)
+      payloadSink, sinkWhen)
   }
 
   private val VersionLine = "WARC/\\d+(\\.\\d+)?".r
@@ -270,7 +276,8 @@ object WarcStreaming {
       keepCase: Boolean,
       keepPayload: Boolean,
       strictHeaders: Boolean,
-      payloadSink: (Array[Byte], Int, Int) => Unit = null
+      payloadSink: (Array[Byte], Int, Int) => Unit = null,
+      sinkWhen: (String, Seq[HeaderKV]) => Boolean = null
   ) extends Iterator[FramedRecord] {
 
     // records parsed but awaiting their end-member's raw length (gz only)
@@ -279,9 +286,11 @@ object WarcStreaming {
     private var exhausted = false
     private var closed = false
     private var pendingLine: Line = null // lookahead version line
-    // the payload sink is scoped to the FIRST record's payload (see
-    // parseStream doc); set after that record's payload is consumed
+    // the payload sink is scoped to ONE record: the first one matching
+    // `sinkWhen` (or simply the first, when no predicate). `sinkActive`
+    // is true only while that record's payload is being read.
     private var sinkDone = false
+    private var sinkActive = false
 
     override def hasNext: Boolean = { advance(); ready.nonEmpty }
     override def next(): FramedRecord = { advance(); ready.dequeue() }
@@ -344,7 +353,7 @@ object WarcStreaming {
     private def readPayload(n: Long): Array[Byte] = {
       if (n <= 0) return Array.emptyByteArray
       if (!keepPayload) {
-        if (payloadSink == null || sinkDone) { feed.skip(n); return Array.emptyByteArray }
+        if (!sinkActive) { feed.skip(n); return Array.emptyByteArray }
         // lazy-payload streaming: chunk through the sink, O(64 KiB)
         // memory at ANY payload size (no JVM-array cap on this path)
         val tmp = new Array[Byte](1 << 16)
@@ -419,6 +428,8 @@ object WarcStreaming {
         case _                      => false
       }
 
+      sinkActive = payloadSink != null && !sinkDone &&
+        (sinkWhen == null || sinkWhen(statusline, warcHdrs))
       val bodyStart = feed.pos
       var httpStatusline: String = null
       var httpHeaders: Vector[HeaderKV] = Vector.empty
@@ -443,7 +454,7 @@ object WarcStreaming {
         payload = readPayload(contentLength)
       }
 
-      sinkDone = true // only the first record's payload feeds the sink
+      if (sinkActive) { sinkDone = true; sinkActive = false } // one record only
       val recStart = first.start
       val payloadEnd = feed.pos
       val endMember = feed.memberIdx

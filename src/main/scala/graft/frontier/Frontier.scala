@@ -198,10 +198,18 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       try { p.getFileSystem(conf).delete(p, false); () } catch { case _: Exception => }
     }
     // index files older than wave-2 are unreachable from any resume
-    // path (resume reads at most index(N-1); prune reads N-1 and N-2)
+    // path (resume reads at most index(N-1); prune reads N-1 and N-2);
+    // the non-recursive dir delete then reclaims the wave dir once its
+    // last level file is gone (succeeds only when empty — harmless
+    // no-op while any level inside is still referenced)
     if (wave >= 3) {
       val idx = indexFilePath(wave - 3)
-      try { idx.getFileSystem(conf).delete(idx, false); () } catch { case _: Exception => }
+      try {
+        val fs = idx.getFileSystem(conf)
+        fs.delete(idx, false)
+        fs.delete(idx.getParent, false)
+        ()
+      } catch { case _: Exception => }
     }
   }
 
@@ -694,7 +702,12 @@ object Frontier {
     * code units, which inverts supplementary-plane vs U+E000–U+FFFF;
     * the fix-up below remaps the first differing units so surrogates
     * (and therefore supplementary code points) sort last — the
-    * standard O(1)-after-common-prefix UTF-16-as-UTF-8 comparison. */
+    * standard O(1)-after-common-prefix UTF-16-as-UTF-8 comparison.
+    * (Known limit, shared with any code-point comparator: ILL-FORMED
+    * strings — lone surrogates — sort here by their would-be code
+    * point, whereas UTF8String encodes them as `?`; canonicalized
+    * URLs are well-formed, so the divergence is unreachable from the
+    * wave path.) */
   private[frontier] def codePointLess(a: String, b: String): Boolean = {
     val n = math.min(a.length, b.length)
     var i = 0
@@ -746,7 +759,11 @@ object Frontier {
       s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
+    // NO delete-before-rename: a zombie attempt deleting a published
+    // file and dying pre-rename would leave a committed index pointing
+    // at nothing. Rename only; if it fails because another attempt
+    // already published (identical deterministic bytes), that IS
+    // success.
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
       require(fs.exists(p), s"level write lost: $p")

@@ -47,8 +47,12 @@ object Robots {
         key match {
           case "user-agent" =>
             if (groupOpen) { currentAgents = Nil; groupOpen = false }
-            currentAgents = value.toLowerCase :: currentAgents
-            addAgentGroup(value)
+            // the same agent listed twice in one block must not make
+            // every following rule append twice
+            if (!currentAgents.contains(value.toLowerCase)) {
+              currentAgents = value.toLowerCase :: currentAgents
+              addAgentGroup(value)
+            }
           case "allow" | "disallow" if currentAgents.nonEmpty =>
             groupOpen = true
             if (value.nonEmpty || key == "allow") {
@@ -60,8 +64,10 @@ object Robots {
           case "crawl-delay" if currentAgents.nonEmpty =>
             groupOpen = true
             val d = value.toDoubleOption
+            // first parseable value wins — a later unparseable line
+            // must not clobber a valid delay back to None
             for (a <- currentAgents; i <- out.indices.reverseIterator.find(out(_)._1 == a))
-              out(i) = (out(i)._1, out(i)._2, d)
+              out(i) = (out(i)._1, out(i)._2, out(i)._3.orElse(d))
           case _ => // sitemap etc — ignored
         }
       }
@@ -147,11 +153,13 @@ object Robots {
     bestAllow
   }
 
-  /** Pick the rule group for `agent`: longest agent token that is a
-    * substring-prefix of ours, else the `*` group. */
+  /** Pick the rule group for `agent`: longest group token that is a
+    * PREFIX of our product token (the UA up to the first `/`), else
+    * the `*` group. Prefix, not substring — "graft" must never adopt
+    * a group addressed to an unrelated bot named "raft". */
   def groupFor(sets: Seq[RuleSet], agent: String): Option[RuleSet] = {
-    val a = agent.toLowerCase
-    val named = sets.filter(s => s.agent != "*" && a.contains(s.agent))
+    val product = agent.toLowerCase.split("/")(0).trim
+    val named = sets.filter(s => s.agent != "*" && product.startsWith(s.agent))
     if (named.nonEmpty) Some(named.maxBy(_.agent.length))
     else sets.find(_.agent == "*")
   }

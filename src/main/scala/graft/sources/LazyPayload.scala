@@ -22,22 +22,35 @@ import graft.core.{FramedRecord, WarcFraming, WarcStreaming, WarcWriter}
   */
 object LazyPayload {
 
-  /** Parse the single record at `(path, offset)`, feeding its payload
-    * to `sink` chunk-by-chunk. Returns the record with headers
-    * populated and the payload column EMPTY (it never materializes). */
+  /** Parse the record at `(path, offset)`, feeding its payload to
+    * `sink` chunk-by-chunk. Returns the record with headers populated
+    * and the payload column EMPTY (it never materializes).
+    *
+    * `recordId`: scan offsets are MEMBER-granular, so for a
+    * non-conformant gzip member spanning several records every record
+    * shares one offset — the target must then be selected by
+    * WARC-Record-ID or the sink would alias record 1's payload onto
+    * every pointer. null = the first record at the offset. */
   def streamRecordAt(path: String, offset: Long,
-                     sink: (Array[Byte], Int, Int) => Unit): FramedRecord = {
+                     sink: (Array[Byte], Int, Int) => Unit,
+                     recordId: String = null): FramedRecord = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = fs.open(hp)
     try {
       if (offset > 0) in.seek(offset)
       val name = path.substring(path.lastIndexOf('/') + 1)
+      def idMatches(hdrs: Seq[graft.core.HeaderKV]): Boolean =
+        hdrs.exists(kv => kv.name.equalsIgnoreCase("WARC-Record-ID") && kv.value == recordId)
       val it = WarcStreaming.parseStream(in, name,
         isGzip = WarcFraming.isGzipName(name), keepPayload = false,
-        rawBase = offset, payloadSink = sink)
-      require(it.hasNext, s"no record at $path:$offset")
-      it.next()
+        rawBase = offset, payloadSink = sink,
+        sinkWhen = if (recordId == null) null else (_, hdrs) => idMatches(hdrs))
+      val found = it.find(r =>
+        recordId == null || r.warcHeader("WARC-Record-ID").contains(recordId))
+      require(found.isDefined,
+        s"no record${if (recordId != null) s" with id $recordId" else ""} at $path:$offset")
+      found.get
     } finally {
       try in.close() catch { case _: Exception => }
     }
@@ -50,30 +63,37 @@ object LazyPayload {
     })
 
   /** Chunked payload digest at a pointer: `(formattedDigest,
-    * payloadLength)`. A multi-GB payload digests in O(64 KiB) memory. */
+    * payloadLength)`. A multi-GB payload digests in O(64 KiB) memory.
+    * Pass `recordId` for records sharing a member-granular offset. */
   def digestPayloadAt(path: String, offset: Long,
-                      opts: WarcWriter.DigestOpts = WarcWriter.CdxDigest): (String, Long) = {
+                      opts: WarcWriter.DigestOpts = WarcWriter.CdxDigest,
+                      recordId: String = null): (String, Long) = {
     val md = mdFor(opts)
     var n = 0L
-    streamRecordAt(path, offset, (b, o, l) => { md.update(b, o, l); n += l })
+    streamRecordAt(path, offset, (b, o, l) => { md.update(b, o, l); n += l }, recordId)
     (WarcWriter.formatDigest(md.digest(), opts), n)
   }
 
-  /** Distributed form: one row per pointer `(path, offset)` →
-    * `(path, offset, payload_digest, payload_length)`. mapPartitions
+  /** Distributed form: one row per pointer `(path, offset[, recordId])`
+    * → `(path, offset, payload_digest, payload_length)`. mapPartitions
     * keeps one open-file + digest at a time per task — the operator a
     * conversion/validation job uses for records the eager scan cannot
-    * hold in memory. */
+    * hold in memory. Supply `recordIdCol` (the scan's `recordId`
+    * column) so pointers into record-packed gzip members resolve to
+    * the right record. */
   def payloadDigests(pointers: DataFrame, pathCol: String = "path",
                      offsetCol: String = "offset",
+                     recordIdCol: String = null,
                      opts: WarcWriter.DigestOpts = WarcWriter.CdxDigest): DataFrame = {
     val spark = pointers.sparkSession
     import spark.implicits._
-    pointers.select(col(pathCol).cast("string"), col(offsetCol).cast("long"))
-      .as[(String, Long)]
+    val idCol = if (recordIdCol == null)
+      org.apache.spark.sql.functions.lit(null: String) else col(recordIdCol).cast("string")
+    pointers.select(col(pathCol).cast("string"), col(offsetCol).cast("long"), idCol)
+      .as[(String, Long, String)]
       .mapPartitions { it =>
-        it.map { case (p, off) =>
-          val (digest, len) = digestPayloadAt(p, off, opts)
+        it.map { case (p, off, rid) =>
+          val (digest, len) = digestPayloadAt(p, off, opts, rid)
           (p, off, digest, len)
         }
       }.toDF("path", "offset", "payload_digest", "payload_length")

@@ -161,6 +161,23 @@ class RobotsSpec extends AnyFunSuite with SparkTestBase {
       s"duplicate robots row multiplied URLs: ${kept.mkString(",")}")
   }
 
+  test("groupFor matches by product-token PREFIX, not substring") {
+    val sets = parse("User-agent: *\nDisallow: /a\n\nUser-agent: raft\nDisallow: /\n")
+    // "graft" contains "raft" but is NOT prefixed by it — must get '*'
+    assert(groupFor(sets, "graft/1.0").get.agent == "*")
+    assert(groupFor(sets, "raft/2").get.agent == "raft")
+  }
+
+  test("crawl-delay: first parseable value wins; garbage cannot clobber it") {
+    val sets = parse("User-agent: *\nCrawl-delay: 5\nCrawl-delay: oops\nDisallow: /x\n")
+    assert(sets.find(_.agent == "*").get.crawlDelay.contains(5.0))
+  }
+
+  test("same agent listed twice in one block does not duplicate rules") {
+    val sets = parse("User-agent: *\nUser-agent: *\nDisallow: /x\n")
+    assert(sets.find(_.agent == "*").get.rules == Seq(Rule(false, "/x")))
+  }
+
   test("crawlDelays extraction") {
     import spark.implicits._
     val robots = Seq(("a.org", txt), ("b.org", "User-agent: *\nDisallow: /x")).toDF("host", "robots_txt")

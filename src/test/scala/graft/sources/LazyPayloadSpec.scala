@@ -65,6 +65,15 @@ class LazyPayloadSpec extends AnyFunSuite with SparkTestBase {
     val (digest, len) = LazyPayload.digestPayloadAt(f.toString, 0)
     assert(len == b1.length.toLong, s"sink leaked past record 1: $len bytes")
     assert(digest == sha1b32(b1))
+    // records 2..m share the member-granular offset: they must resolve
+    // BY RECORD ID, not alias record 1's payload
+    val scanned = spark.read.format("warc").load(f.toString)
+      .select("recordId", "targetUri", "offset").collect()
+    assert(scanned.length == 2 && scanned.forall(_.getLong(2) == 0L))
+    val rid2 = scanned.find(_.getString(1) == "https://ex.org/2").get.getString(0)
+    val (d2, l2) = LazyPayload.digestPayloadAt(f.toString, 0, recordId = rid2)
+    assert(l2 == b2.length.toLong, s"record-2 pointer aliased record 1: $l2 bytes")
+    assert(d2 == sha1b32(b2))
   }
 
   test("truncated payload at a pointer THROWS instead of returning a short digest") {
