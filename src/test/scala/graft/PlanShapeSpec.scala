@@ -69,6 +69,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("seen probe (freshOnly): one candidate exchange, NO join against any seen store") {
+    val ck = graft.Scratch.dir("planshape-fresh").toString
+    val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, seenShards = 8,
+      fastMode = true)
+    val f = new graft.frontier.Frontier(spark, cfg)
+    f.initialize(graft.frontier.Frontier.syntheticSeeds(spark, 2000))
+    val probe = f.freshOnly(graft.frontier.Frontier.syntheticSeeds(spark, 3000))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("join"),
+      s"seen membership must be in-task, not a join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"probe should shuffle candidates exactly once ($exchanges):\n$p")
+  }
+
   test("no driver-sized collect in dedup/similarity operator plans") {
     // structural audit: candidate pipelines end in Spark plans, not
     // driver loops — verified by the plans existing at all + bounded

@@ -241,6 +241,15 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
     field.get(f).asInstanceOf[FrontierConfig].checkpointDir
   }
 
+  test("shard-count config mismatch on an existing checkpoint fails loudly") {
+    val ckDir = tmpDir("shardmismatch")
+    val f = new Frontier(spark, FrontierConfig(checkpointDir = ckDir, seenShards = 16))
+    f.initialize(Frontier.syntheticSeeds(spark, 500))
+    val f2 = new Frontier(spark, FrontierConfig(checkpointDir = ckDir, seenShards = 32))
+    val e = intercept[Exception] { f2.runWave() }
+    assert(e.getMessage.contains("shards"), s"wrong error: ${e.getMessage}")
+  }
+
   test("seen-delta compaction: identical membership, pruned dirs, resume-safe") {
     val ckDir = tmpDir("compact")
     val cfg = FrontierConfig(checkpointDir = ckDir, hostBudget = 5, seenShards = 16)
