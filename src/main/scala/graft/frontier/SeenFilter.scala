@@ -235,12 +235,6 @@ object SeenFilter {
     bb.array()
   }
 
-  def runCount(blob: Array[Byte]): Int = {
-    val bb = java.nio.ByteBuffer.wrap(blob)
-    require(bb.getInt() == RunMagic, "bad exact-run magic")
-    bb.getInt()
-  }
-
   def decodeRun(blob: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(blob)
     require(bb.getInt() == RunMagic, "bad exact-run magic")
