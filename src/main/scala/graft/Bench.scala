@@ -112,6 +112,21 @@ object ScalingBench {
     // warm-up (JIT/codegen) — in chunk mode the phase timer starts
     // after this, so chunked and unchunked elapsed are comparable
     FrontierBench.run(spark, seeds = 20000)
+    // fixed single-thread calibration: ambient host noise moved
+    // single-leg times up to ~1.7x this round, so every measurement
+    // self-documents its window (compare calib_ms across legs — a
+    // pair is only meaningful when both legs calibrate alike)
+    val calibMs = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var h = 1469598103934665603L
+        var i = 0
+        while (i < 200000000) { h = (h ^ i) * 1099511628211L; i += 1 }
+        if (h == 42L) println("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e6
+      }
+      once(); math.min(once(), once())
+    }
     val par = execs.getOrElse(cores)
     val mode = if (execs.isDefined) "executors" else "threads"
     (args.lift(2), args.lift(3)) match {
@@ -136,11 +151,11 @@ object ScalingBench {
           } else f.runWave()
         val el = (System.nanoTime() - t0) / 1e9
         println(
-          f"""{"metric":"frontier_chunk","phase":"$phase","mode":"$mode","cores":$par,"seeds":$seeds,"elapsed_sec":$el%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped}}""")
+          f"""{"metric":"frontier_chunk","phase":"$phase","mode":"$mode","cores":$par,"seeds":$seeds,"elapsed_sec":$el%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped},"calib_ms":$calibMs%.0f}""")
       case _ =>
         val r = FrontierBench.run(spark, seeds = seeds)
         println(
-          f"""{"metric":"frontier_throughput","unit":"urls/sec","mode":"$mode","cores":$par,"seeds":$seeds,"urls_per_sec":${r.urlsPerSec}%.0f,"elapsed_sec":${r.elapsedSec}%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped}}""")
+          f"""{"metric":"frontier_throughput","unit":"urls/sec","mode":"$mode","cores":$par,"seeds":$seeds,"urls_per_sec":${r.urlsPerSec}%.0f,"elapsed_sec":${r.elapsedSec}%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped},"calib_ms":$calibMs%.0f}""")
     }
     spark.stop()
   }
