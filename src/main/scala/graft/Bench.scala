@@ -33,10 +33,32 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier_urls_per_sec":${frontier.urlsPerSec}%.0f,"frontier_scheduled":${frontier.scheduled},"frontier_deduped":${frontier.deduped}}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier_urls_per_sec":${frontier.urlsPerSec}%.0f,"frontier_scheduled":${frontier.scheduled},"frontier_deduped":${frontier.deduped}}"""
+    println(line)
+    BenchOut.write("bench.json", line)
     spark.stop()
   }
+}
+
+/** Machine-readable bench artifact: every bench main ALSO writes its
+  * JSON to a file (default `target/bench*.json`, override dir with
+  * GRAFT_BENCH_OUT) so the per-round artifact carries structured
+  * numbers instead of a scraped log tail. */
+object BenchOut {
+  def write(name: String, line: String, append: Boolean = false): Unit =
+    try {
+      val d = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "target"))
+      java.nio.file.Files.createDirectories(d)
+      val opts: Seq[java.nio.file.OpenOption] =
+        if (append)
+          Seq(java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+        else
+          Seq(java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      java.nio.file.Files.writeString(d.resolve(name), line + "\n", opts: _*)
+      ()
+    } catch { case e: Exception => System.err.println(s"[bench] artifact write failed: $e") }
 }
 
 final case class FrontierBenchResult(scheduled: Long, deduped: Long, elapsedSec: Double) {
@@ -150,12 +172,16 @@ object ScalingBench {
             f.initialize(seedDf)
           } else f.runWave()
         val el = (System.nanoTime() - t0) / 1e9
-        println(
-          f"""{"metric":"frontier_chunk","phase":"$phase","mode":"$mode","cores":$par,"seeds":$seeds,"elapsed_sec":$el%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped},"calib_ms":$calibMs%.0f}""")
+        val line =
+          f"""{"metric":"frontier_chunk","phase":"$phase","mode":"$mode","cores":$par,"seeds":$seeds,"elapsed_sec":$el%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped},"calib_ms":$calibMs%.0f}"""
+        println(line)
+        BenchOut.write("scalingbench.json", line, append = true)
       case _ =>
         val r = FrontierBench.run(spark, seeds = seeds)
-        println(
-          f"""{"metric":"frontier_throughput","unit":"urls/sec","mode":"$mode","cores":$par,"seeds":$seeds,"urls_per_sec":${r.urlsPerSec}%.0f,"elapsed_sec":${r.elapsedSec}%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped},"calib_ms":$calibMs%.0f}""")
+        val line =
+          f"""{"metric":"frontier_throughput","unit":"urls/sec","mode":"$mode","cores":$par,"seeds":$seeds,"urls_per_sec":${r.urlsPerSec}%.0f,"elapsed_sec":${r.elapsedSec}%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped},"calib_ms":$calibMs%.0f}"""
+        println(line)
+        BenchOut.write("scalingbench.json", line, append = true)
     }
     spark.stop()
   }

@@ -31,9 +31,24 @@ object Scratch {
     ensureInit()
     Files.createDirectories(Root)
     val p = Files.createTempDirectory(Root, prefix + "-")
-    try Files.writeString(p.resolve(".owner-pid"),
-      ProcessHandle.current().pid().toString)
-    catch { case _: Exception => }
+    // the marker MUST exist: without it a later JVM's prune falls back
+    // to the 24h age check and may delete this still-live session's
+    // scratch out from under it (e.g. a long chunk-mode frontier
+    // checkpoint). One retry for transient fs hiccups, then fail loudly
+    // rather than hand out an unprotected dir.
+    val pid = ProcessHandle.current().pid().toString
+    try Files.writeString(p.resolve(".owner-pid"), pid)
+    catch {
+      case _: Exception =>
+        try Files.writeString(p.resolve(".owner-pid"), pid)
+        catch {
+          case e: Exception =>
+            deleteRecursively(p)
+            throw new IllegalStateException(
+              s"cannot write scratch owner marker in $p — refusing to hand out " +
+                "an age-prunable live dir", e)
+        }
+    }
     mine.put(p, ())
     p
   }

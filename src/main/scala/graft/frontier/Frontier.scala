@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Functions
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** The crawl frontier + fetch scheduler (north rule, BASELINE.json).
   *
@@ -79,6 +78,16 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   Functions.registerAll(spark)
 
   private def dir(parts: String*): String = (cfg.checkpointDir +: parts).mkString("/")
+
+  /** Session Hadoop conf (incl. runtime `spark.hadoop.*` — object-store
+    * auth etc.), broadcast once so EXECUTOR-side filesystem access
+    * (level reads/writes) sees exactly what driver-side index I/O sees.
+    * A bare `new Configuration()` in a task only reads classpath
+    * defaults and silently drops session-supplied fs settings. */
+  private lazy val taskConfB = spark.sparkContext.broadcast(
+    new graft.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+  /** Exposed for tests asserting the executor-visible conf contents. */
+  private[frontier] def taskHadoopConfBroadcast = taskConfB
 
   // ----------------------------------------------------------------
   // URL canonicalization + keys
@@ -163,6 +172,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val n = cfg.seenShards
     val ckDir = cfg.checkpointDir
     val prevIdxB = spark.sparkContext.broadcast(prevIdx)
+    val confB = taskConfB
     import spark.implicits._
     newKeys.select(col("surt_key")).as[String]
       .groupByKey(k => java.lang.Math.floorMod(SeenFilter.hashKey(k), n.toLong).toInt)
@@ -173,44 +183,57 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         val k = SeenFilter.levelsToMerge(counts, batch.length)
         val (retained, merged) = prevPaths.splitAt(prevPaths.length - k)
         // oldest-first merge keeps accumulation sorted
-        val mergedRuns = merged.map(pp => Frontier.loadLevel(ckDir, pp).hashes)
+        val mergedRuns = merged.map(pp => Frontier.loadLevel(ckDir, pp, confB.value.value).hashes)
         val run = SeenFilter.mergeIntoRun(batch, mergedRuns.reverse)
-        val rel = Frontier.storeLevel(ckDir, wave, shard, SeenFilter.buildLevel(run), run.length)
+        val rel = Frontier.storeLevel(ckDir, wave, shard, SeenFilter.buildLevel(run),
+          run.length, confB.value.value)
         Iterator.single((shard, retained :+ rel))
       }.collect().toMap
   }
 
-  /** GC level files with a ONE-WAVE LAG: at commit of wave N, delete
-    * levels referenced by index(N-2) but no longer by index(N-1) —
-    * i.e. unreferenced by BOTH index(N) and index(N-1) (a level
-    * dropped at N-1 can never reappear). The lag keeps a re-run of
-    * wave N (after an uncommitted crash OR a hand-deleted manifest)
-    * fully resolvable from index(N-1). O(merged) deletes per wave;
-    * every retired level is reclaimed exactly one wave later; a crash
-    * mid-prune leaves only unreferenced garbage. */
+  /** GC level files with a ONE-WAVE LAG, SELF-HEALINGLY: at commit of
+    * wave N, enumerate every on-disk `.lvl` file and delete the ones
+    * referenced by NEITHER index(N) nor index(N-1) (a level dropped
+    * from an index can never reappear in a later one). The lag keeps a
+    * re-run of wave N (after an uncommitted crash OR a hand-deleted
+    * manifest) fully resolvable from index(N-1). Diffing the DISK
+    * against the live set — not index(N-2) against index(N-1) — means
+    * a crash between commit(N) and the prune leaks nothing
+    * permanently: the next committed wave's prune reclaims whatever
+    * the missed one would have. Cost: one recursive listing of
+    * `shards/` (O(shards·log(levels)) entries) + O(dead) deletes —
+    * cheap next to the wave's own I/O. Index files older than N-1 are
+    * unreachable from any resume path and are swept the same way. */
   private def pruneSupersededShardFiles(wave: Int): Unit = {
     if (wave < 2) return
-    val live = readIndex(wave - 1).values.flatten.toSet
-    val dead = readIndex(wave - 2).values.flatten.filterNot(live)
+    val live: Set[String] =
+      (readIndex(wave).values.flatten ++ readIndex(wave - 1).values.flatten).toSet
     val conf = spark.sessionState.newHadoopConf()
-    dead.foreach { rel =>
-      val p = Frontier.levelPath(cfg.checkpointDir, rel)
-      try { p.getFileSystem(conf).delete(p, false); () } catch { case _: Exception => }
-    }
-    // index files older than wave-2 are unreachable from any resume
-    // path (resume reads at most index(N-1); prune reads N-1 and N-2);
-    // the non-recursive dir delete then reclaims the wave dir once its
-    // last level file is gone (succeeds only when empty — harmless
-    // no-op while any level inside is still referenced)
-    if (wave >= 3) {
-      val idx = indexFilePath(wave - 3)
-      try {
-        val fs = idx.getFileSystem(conf)
-        fs.delete(idx, false)
-        fs.delete(idx.getParent, false)
-        ()
-      } catch { case _: Exception => }
-    }
+    val root = new org.apache.hadoop.fs.Path(cfg.checkpointDir, "shards")
+    try {
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return
+      val waveDirRe = "wave=(\\d+)".r
+      fs.listStatus(root).foreach { d =>
+        d.getPath.getName match {
+          case waveDirRe(w) =>
+            val dirWave = w.toInt
+            fs.listStatus(d.getPath).foreach { f =>
+              val name = f.getPath.getName
+              val rel = s"wave=$dirWave/$name"
+              val dead =
+                if (name.endsWith(".lvl")) !live.contains(rel)
+                else if (name == "INDEX.txt") dirWave < wave - 1
+                else false
+              if (dead) { try { fs.delete(f.getPath, false); () } catch { case _: Exception => } }
+            }
+            // reclaims the wave dir once empty (non-recursive delete is
+            // a harmless no-op while anything inside is still live)
+            try { fs.delete(d.getPath, false); () } catch { case _: Exception => }
+          case _ =>
+        }
+      }
+    } catch { case _: Exception => }
   }
 
   /** Compacted base (`seen_base/upto=B`) + per-wave seen DELTAS for
@@ -245,21 +268,43 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
 
   /** Largest published compaction base ≤ wave, if any. */
   private def latestSeenBase(wave: Int): Option[Int] = {
-    val d = Paths.get(cfg.checkpointDir)
-    if (!Files.exists(d)) return None
     val re = "SEEN_BASE-(\\d+)\\.json".r
-    var best = -1
-    val listing = Files.list(d)
-    try {
-      val it = listing.iterator()
-      while (it.hasNext) {
-        it.next().getFileName.toString match {
-          case re(n) if n.toInt <= wave => best = math.max(best, n.toInt)
-          case _                       =>
-        }
-      }
-    } finally listing.close()
-    if (best < 0) None else Some(best)
+    val best = listMarkerWaves(re).filter(_ <= wave)
+    if (best.isEmpty) None else Some(best.max)
+  }
+
+  /** Wave numbers of marker files `<re>` in the checkpoint root —
+    * through the checkpoint's Hadoop FileSystem (NOT java.nio), so the
+    * commit protocol works on hdfs:/s3a:/file: alike. */
+  private def listMarkerWaves(re: scala.util.matching.Regex): Seq[Int] = {
+    val d = new org.apache.hadoop.fs.Path(cfg.checkpointDir)
+    val fs = Frontier.rawFs(d, spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).toSeq.flatMap(st => st.getPath.getName match {
+      case re(n) => Some(n.toInt)
+      case _     => None
+    })
+  }
+
+  /** Atomic marker publish: write to a dot-tmp on the SAME filesystem,
+    * then rename onto the final name (atomic on HDFS and posix local
+    * fs; the accepted create-then-rename pattern on object stores). */
+  private def publishMarker(name: String, json: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(cfg.checkpointDir)
+    val fs = Frontier.rawFs(d, spark.sessionState.newHadoopConf())
+    fs.mkdirs(d)
+    val tmp = new org.apache.hadoop.fs.Path(d, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(d, name)
+    fs.delete(dst, false) // idempotent re-publish (wave re-run)
+    require(fs.rename(tmp, dst), s"marker publish failed: $dst")
+  }
+
+  private def deleteMarker(name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(cfg.checkpointDir, name)
+    try { Frontier.rawFs(p, spark.sessionState.newHadoopConf()).delete(p, false); () }
+    catch { case _: Exception => }
   }
 
   /** Compact seen string deltas: fold waves ≤ `upTo` (which must be
@@ -277,10 +322,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val prevBase = latestSeenBase(upTo)
     if (prevBase.contains(upTo)) return // already compacted to here
     seenUpTo(upTo).write.mode("overwrite").parquet(dir("seen_base", s"upto=$upTo"))
-    val tmp = Paths.get(dir(s".SEEN_BASE-$upTo.tmp"))
-    Files.writeString(tmp, s"""{"upto":$upTo}""")
-    Files.move(tmp, Paths.get(dir(s"SEEN_BASE-$upTo.json")),
-      StandardCopyOption.ATOMIC_MOVE)
+    publishMarker(s"SEEN_BASE-$upTo.json", s"""{"upto":$upTo}""")
     // GC (failures harmless; read path already ignores all of these)
     val conf = spark.sessionState.newHadoopConf()
     def rm(path: String): Unit =
@@ -289,8 +331,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         p.getFileSystem(conf).delete(p, true); ()
       } catch { case _: Exception => }
     prevBase.foreach { b =>
-      try Files.deleteIfExists(Paths.get(dir(s"SEEN_BASE-$b.json")))
-      catch { case _: Exception => }
+      deleteMarker(s"SEEN_BASE-$b.json")
       rm(dir("seen_base", s"upto=$b"))
     }
     seenDeltaWaves().filter(_ <= upTo).foreach(w => rm(dir("seen", s"wave=$w")))
@@ -322,6 +363,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val n = cfg.seenShards
     val ckDir = cfg.checkpointDir
     val idxB = spark.sparkContext.broadcast(prevIdx)
+    val confB = taskConfB
     // group granularity: a multiple k of the shard count, sized so the
     // stage keeps ~2 groups per core even when seenShards < cores
     // (16-shard test configs on a 32-core session would otherwise run
@@ -358,7 +400,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
           }
         }
         val levels = idxB.value.getOrElse(shard, Nil)
-          .map(rel => Frontier.loadLevel(ckDir, rel)).toArray
+          .map(rel => Frontier.loadLevel(ckDir, rel, confB.value.value)).toArray
         import scala.jdk.CollectionConverters._
         agg.entrySet().iterator().asScala
           .filter { e =>
@@ -467,25 +509,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   // Checkpointing
   // ----------------------------------------------------------------
 
-  private def manifestPath(wave: Int): java.nio.file.Path =
-    Paths.get(dir(s"MANIFEST-$wave.json"))
-
   def latestCommittedWave(): Int = {
-    val d = Paths.get(cfg.checkpointDir)
-    if (!Files.exists(d)) return -1
     val re = "MANIFEST-(\\d+)\\.json".r
-    var best = -1
-    val listing = Files.list(d)
-    try {
-      val it = listing.iterator()
-      while (it.hasNext) {
-        it.next().getFileName.toString match {
-          case re(n) => best = math.max(best, n.toInt)
-          case _     =>
-        }
-      }
-    } finally listing.close()
-    best
+    val waves = listMarkerWaves(re)
+    if (waves.isEmpty) -1 else waves.max
   }
 
   private def commit(wave: Int, result: WaveResult): Unit = {
@@ -494,10 +521,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
          |"fresh":${result.fresh},"allowed":${result.allowed},"scheduled":${result.scheduled},
          |"seen_total":${result.seenTotal},"pending_total":${result.pendingTotal},
          |"elapsed_sec":${result.elapsedSec}}""".stripMargin.replace("\n", "")
-    val tmp = Paths.get(dir(s".MANIFEST-$wave.tmp"))
-    Files.createDirectories(tmp.getParent)
-    Files.writeString(tmp, json)
-    Files.move(tmp, manifestPath(wave), StandardCopyOption.ATOMIC_MOVE)
+    publishMarker(s"MANIFEST-$wave.json", json)
   }
 
   // ----------------------------------------------------------------
@@ -735,12 +759,27 @@ object Frontier {
     case _            => throw new IllegalArgumentException(s"bad level path: $rel")
   }
 
+  /** Unwrap local-fs checksum wrapping for marker files: tests (and
+    * operators) delete markers through plain java.nio, which would
+    * strand `.crc` sidecars and fail later checksum reads. Non-local
+    * filesystems pass through untouched. */
+  private[frontier] def rawFs(p: org.apache.hadoop.fs.Path,
+                              conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case fs                                         => fs
+    }
+
   /** Executor-side level read (direct storage access, not a shuffle).
-    * `new Configuration()` picks up core-site defaults from the
-    * executor classpath on a real cluster; local paths need none. */
-  private[frontier] def loadLevel(ckDir: String, rel: String): SeenFilter.LevelProbe = {
+    * `conf` is the broadcast SESSION Hadoop conf — session-supplied fs
+    * settings (`spark.hadoop.*` auth) must reach task-side reads too,
+    * not only driver-side index I/O. */
+  private[frontier] def loadLevel(ckDir: String, rel: String,
+                                  conf: org.apache.hadoop.conf.Configuration)
+      : SeenFilter.LevelProbe = {
     val p = levelPath(ckDir, rel)
-    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    val in = p.getFileSystem(conf).open(p)
     try SeenFilter.parseLevel(in.readAllBytes()) finally in.close()
   }
 
@@ -750,10 +789,11 @@ object Frontier {
     * any interleave of attempts converges on the same file. Returns
     * the relative path for the index. */
   private[frontier] def storeLevel(ckDir: String, wave: Int, shard: Int,
-                                   bytes: Array[Byte], count: Int): String = {
+                                   bytes: Array[Byte], count: Int,
+                                   conf: org.apache.hadoop.conf.Configuration): String = {
     val rel = f"wave=$wave/s$shard%05d-n$count%010d.lvl"
     val p = levelPath(ckDir, rel)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     fs.mkdirs(p.getParent)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent,
       s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")

@@ -33,9 +33,11 @@ object LazyPayload {
     * every pointer. null = the first record at the offset. */
   def streamRecordAt(path: String, offset: Long,
                      sink: (Array[Byte], Int, Int) => Unit,
-                     recordId: String = null): FramedRecord = {
+                     recordId: String = null,
+                     conf: org.apache.hadoop.conf.Configuration =
+                       new org.apache.hadoop.conf.Configuration()): FramedRecord = {
     val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = hp.getFileSystem(conf)
     val in = fs.open(hp)
     try {
       if (offset > 0) in.seek(offset)
@@ -67,10 +69,12 @@ object LazyPayload {
     * Pass `recordId` for records sharing a member-granular offset. */
   def digestPayloadAt(path: String, offset: Long,
                       opts: WarcWriter.DigestOpts = WarcWriter.CdxDigest,
-                      recordId: String = null): (String, Long) = {
+                      recordId: String = null,
+                      conf: org.apache.hadoop.conf.Configuration =
+                        new org.apache.hadoop.conf.Configuration()): (String, Long) = {
     val md = mdFor(opts)
     var n = 0L
-    streamRecordAt(path, offset, (b, o, l) => { md.update(b, o, l); n += l }, recordId)
+    streamRecordAt(path, offset, (b, o, l) => { md.update(b, o, l); n += l }, recordId, conf)
     (WarcWriter.formatDigest(md.digest(), opts), n)
   }
 
@@ -87,13 +91,17 @@ object LazyPayload {
                      opts: WarcWriter.DigestOpts = WarcWriter.CdxDigest): DataFrame = {
     val spark = pointers.sparkSession
     import spark.implicits._
+    // session Hadoop conf (incl. runtime spark.hadoop.* fs auth) must
+    // reach the task-side open — executor classpath defaults may lack it
+    val confB = spark.sparkContext.broadcast(
+      new graft.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
     val idCol = if (recordIdCol == null)
       org.apache.spark.sql.functions.lit(null: String) else col(recordIdCol).cast("string")
     pointers.select(col(pathCol).cast("string"), col(offsetCol).cast("long"), idCol)
       .as[(String, Long, String)]
       .mapPartitions { it =>
         it.map { case (p, off, rid) =>
-          val (digest, len) = digestPayloadAt(p, off, opts, rid)
+          val (digest, len) = digestPayloadAt(p, off, opts, rid, confB.value.value)
           (p, off, digest, len)
         }
       }.toDF("path", "offset", "payload_digest", "payload_length")

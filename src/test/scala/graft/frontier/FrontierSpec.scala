@@ -315,6 +315,53 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
       "no level reuse across waves — every shard was rewritten")
   }
 
+  test("level I/O ships the SESSION Hadoop conf to executors (spark.hadoop.* visible in-task)") {
+    // a setting supplied only through the session (not the executor
+    // classpath) must be visible to the conf the level read/write path
+    // uses in tasks — the broadcast is the same object loadLevel/
+    // storeLevel receive, so asserting its task-side contents asserts
+    // the I/O path's conf provenance
+    spark.conf.set("spark.hadoop.graft.test.marker", "fence42")
+    try {
+      val f = new Frontier(spark, FrontierConfig(checkpointDir = tmpDir("confship"),
+        seenShards = 8, fastMode = true))
+      f.initialize(Frontier.syntheticSeeds(spark, 300)) // exercises storeLevel under this conf
+      val confB = f.taskHadoopConfBroadcast
+      // runtime session confs land in newHadoopConf() under their FULL
+      // key (SparkConf-supplied spark.hadoop.* are stripped at context
+      // creation); either form proves session-conf provenance
+      val seen = spark.sparkContext.parallelize(Seq(1), 1)
+        .map { _ =>
+          val c = confB.value.value
+          String.valueOf(
+            Option(c.get("graft.test.marker"))
+              .getOrElse(c.get("spark.hadoop.graft.test.marker")))
+        }
+        .collect().head
+      assert(seen == "fence42",
+        s"session spark.hadoop.* setting not visible task-side (got $seen)")
+    } finally spark.conf.unset("spark.hadoop.graft.test.marker")
+  }
+
+  test("shard prune is self-healing: orphan levels from a missed prune are reclaimed later") {
+    val ckDir = tmpDir("selfheal")
+    val cfg = FrontierConfig(checkpointDir = ckDir, hostBudget = 5, seenShards = 16,
+      fastMode = true)
+    val f = new Frontier(spark, cfg)
+    f.initialize(Frontier.syntheticSeeds(spark, 2000))
+    f.runWave()
+    // simulate a crash-between-commit-and-prune leak: an unreferenced
+    // level file in an OLD wave dir (no index references it)
+    val orphan = Paths.get(ckDir, "shards", "wave=0", "s99999-n0000000001.lvl")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    f.runWave() // wave 2's commit-time prune diffs DISK vs live set
+    assert(!Files.exists(orphan),
+      "orphan level not reclaimed — prune only diffs the last two indexes")
+    // and everything referenced stays intact: another wave runs clean
+    val r = f.runWave()
+    assert(r.scheduled > 0)
+  }
+
   test("seen-subtraction shuffle is O(candidates), not O(seen) — stage-metric assert") {
     // 150k seen keys (~8 MB of SURT strings), probed with 1000
     // candidates: the subtract step must shuffle only the candidates —
