@@ -169,6 +169,12 @@ object Robots {
     * This is the joinable form of the robots cache — at 10^6–10^8
     * hosts it stays a distributed table; nothing flows through the
     * driver. */
+  /** JVM-local count of hosts whose robots.txt went through the full
+    * parse in hostRules/crawlDelays — test instrumentation for the
+    * parse-once-per-robots-version contract (meaningful in local mode,
+    * where tests run). */
+  private[frontier] val parsedHostCount = new java.util.concurrent.atomic.AtomicLong
+
   def hostRules(robots: DataFrame, agent: String = "graft"): DataFrame = {
     val spark = robots.sparkSession
     import spark.implicits._
@@ -178,9 +184,30 @@ object Robots {
       .agg(org.apache.spark.sql.functions.min(col("robots_txt")).as("robots_txt"))
       .as[(String, String)]
       .map { case (h, t) =>
+        parsedHostCount.incrementAndGet()
         val rules = groupFor(parse(t), agent).map(_.rules).getOrElse(Seq.empty)
         (h, rules.map(r => (r.allow, r.pattern)))
       }.toDF("host", "rules")
+  }
+
+  /** Gate `df` against an ALREADY-PARSED rule table
+    * `(host, rules: array<struct<allow,pattern>>)` — the wave-loop form:
+    * the frontier parses its robots snapshot once per version
+    * (checkpointed), then every wave joins this table instead of
+    * re-running groupBy+parse over the raw robots text. Catalyst/AQE
+    * broadcasts a small rule table and falls back to a
+    * host-partitioned shuffle join for giant ones; the driver never
+    * holds robots state. A host with no rule row is allowed. */
+  def applyRulesTable(df: DataFrame, parsedRules: DataFrame, hostCol: String,
+                      pathCol: String): DataFrame = {
+    val rules = parsedRules
+      .withColumnRenamed("host", "__robots_host")
+      .withColumnRenamed("rules", "__robots_rules")
+    val allowedU = udf((rules: Seq[Row], path: String) =>
+      rules == null || isAllowed(rules.map(r => Rule(r.getBoolean(0), r.getString(1))), path))
+    df.join(rules, df(hostCol) === rules("__robots_host"), "left")
+      .filter(allowedU(col("__robots_rules"), col(pathCol)))
+      .drop("__robots_host", "__robots_rules")
   }
 
   /** Frontier gate: filter `df` (host, path columns) against a robots
@@ -191,16 +218,8 @@ object Robots {
     * sets; the DRIVER never collects or holds any robots state. A host
     * with no robots row is allowed (left join, null rules → allow). */
   def applyRobots(df: DataFrame, robots: DataFrame, hostCol: String,
-                  pathCol: String, agent: String = "graft"): DataFrame = {
-    val rules = hostRules(robots, agent)
-      .withColumnRenamed("host", "__robots_host")
-      .withColumnRenamed("rules", "__robots_rules")
-    val allowedU = udf((rules: Seq[Row], path: String) =>
-      rules == null || isAllowed(rules.map(r => Rule(r.getBoolean(0), r.getString(1))), path))
-    df.join(rules, df(hostCol) === rules("__robots_host"), "left")
-      .filter(allowedU(col("__robots_rules"), col(pathCol)))
-      .drop("__robots_host", "__robots_rules")
-  }
+                  pathCol: String, agent: String = "graft"): DataFrame =
+    applyRulesTable(df, hostRules(robots, agent), hostCol, pathCol)
 
   /** Per-host crawl delays from the robots table (for budget pacing). */
   def crawlDelays(robots: DataFrame, agent: String = "graft"): DataFrame = {
@@ -210,6 +229,7 @@ object Robots {
       .agg(org.apache.spark.sql.functions.min(col("robots_txt")).as("robots_txt"))
       .as[(String, String)]
       .flatMap { case (h, t) =>
+        parsedHostCount.incrementAndGet()
         groupFor(parse(t), agent).flatMap(_.crawlDelay).map(d => (h, d)) }
       .toDF("host", "crawl_delay")
   }

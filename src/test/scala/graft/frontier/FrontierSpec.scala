@@ -222,6 +222,44 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
     assert(sched.count() > 0)
   }
 
+  test("robots parsed ONCE per robots version: waves and resumed instances reuse the checkpointed parse") {
+    import spark.implicits._
+    val ckDir = tmpDir("robotsonce")
+    val cfg = FrontierConfig(checkpointDir = ckDir, hostBudget = 5, seenShards = 8)
+    val seeds = Frontier.syntheticSeeds(spark, 400)
+    val hosts = {
+      val f0 = new Frontier(spark, FrontierConfig(checkpointDir = tmpDir("robotsonce-probe")))
+      f0.initialize(seeds)
+      f0.pendingDf(0).select("host").distinct().as[String].collect().toSeq
+    }
+    val robots = hosts.map(h =>
+      (h, "User-agent: *\nDisallow: /seed/1\nCrawl-delay: 3\n")).toDF("host", "robots_txt")
+    val before = Robots.parsedHostCount.get()
+    val f = new Frontier(spark, cfg, robots = Some(robots))
+    f.initialize(seeds)
+    f.runWave(); f.runWave()
+    val afterTwoWaves = Robots.parsedHostCount.get()
+    // hostRules + crawlDelays each parse every host exactly once at
+    // materialization; two waves must not add a single re-parse
+    assert(afterTwoWaves - before == 2L * hosts.size,
+      s"robots re-parsed inside the wave loop: ${afterTwoWaves - before} parses " +
+        s"for ${hosts.size} hosts over 2 waves")
+    // a RESUMED instance on the same checkpoint + same robots version
+    // reuses the published parse (zero parses)
+    val f2 = new Frontier(spark, cfg, robots = Some(robots))
+    f2.runWave()
+    assert(Robots.parsedHostCount.get() == afterTwoWaves,
+      "resumed instance re-parsed an unchanged robots snapshot")
+    // a CHANGED robots snapshot re-parses and re-publishes
+    val robots2 = robots.withColumn("robots_txt",
+      org.apache.spark.sql.functions.concat($"robots_txt",
+        org.apache.spark.sql.functions.lit("Disallow: /seed/2\n")))
+    val f3 = new Frontier(spark, cfg, robots = Some(robots2))
+    f3.runWave()
+    assert(Robots.parsedHostCount.get() > afterTwoWaves,
+      "changed robots snapshot did not re-parse")
+  }
+
   test("hot-host skew: zipf head host bounded by budget, salting active") {
     val (f, _) = runWaves("skew", 2, 8)
     val sched = f.scheduledDf(2)

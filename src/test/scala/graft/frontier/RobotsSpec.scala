@@ -185,3 +185,47 @@ class RobotsSpec extends AnyFunSuite with SparkTestBase {
     assert(d == Map("a.org" -> 1.5))
   }
 }
+
+/** Join-strategy guard: a giant robots rule table must NOT be
+  * broadcast (driver/executor OOM at 10^6-10^8 hosts) — AQE has to
+  * fall back to a host-partitioned shuffle join; a small table should
+  * still broadcast. */
+class RobotsJoinStrategySpec extends AnyFunSuite with SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.count() // materialize so AQE settles on the final physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("10^6-host rule table: shuffle join chosen, no broadcast; small table broadcasts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val big = spark.range(1000000).select(
+      concat(lit("h"), $"id", lit(".example.org")).as("host"),
+      concat(lit("User-agent: *\nDisallow: /block"), ($"id" % 7).cast("string"),
+        lit("\n")).as("robots_txt"))
+    val urls = spark.range(2000).select(
+      concat(lit("h"), $"id" * 499, lit(".example.org")).as("host"),
+      concat(lit("/block"), ($"id" % 9).cast("string"), lit("/x")).as("path"))
+    val gated = Robots.applyRobots(urls, big, "host", "path")
+    val plan = finalPlan(gated)
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"giant rule table was broadcast — OOM at scale:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join for the giant rule table:\n${plan.take(2000)}")
+    // correctness spot-check rides along: /blockN paths of matching
+    // hosts are gated, everything else passes
+    val kept = gated.collect()
+    assert(kept.forall { r =>
+      val blocked = "/block" + (r.getAs[String]("host").drop(1).takeWhile(_.isDigit).toLong % 7)
+      !r.getAs[String]("path").startsWith(blocked)
+    })
+
+    // the common small case still broadcasts (politeness gate stays cheap)
+    val small = Seq(("a.org", "User-agent: *\nDisallow: /x\n")).toDF("host", "robots_txt")
+    val smallPlan = finalPlan(Robots.applyRobots(urls, small, "host", "path"))
+    assert(smallPlan.contains("BroadcastHashJoin"),
+      s"small rule table did not broadcast:\n${smallPlan.take(2000)}")
+  }
+}
