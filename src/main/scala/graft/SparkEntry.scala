@@ -606,6 +606,20 @@ object SparkEntry {
           maxIter = 50, requireConverged = true))
         .orderBy($"id")
     }),
+    // ---- connected components via LARGE-STAR/SMALL-STAR over an
+    // adversarially long path graph (components of 64 consecutive doc
+    // ids, diameter 63 — the shape min-label propagation cannot handle
+    // in O(1) rounds). The edge list is staged; the oracle recomputes
+    // the transitive closure with a recursive CTE and labels every
+    // node with its component minimum.
+    "q44_cc_star" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
+      val edges = t(dir, "documents").select($"doc_id".cast("long").as("doc_id"))
+        .filter($"doc_id" % 64 =!= 63)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 1L).as("id_b"))
+      edges.write.mode("overwrite").parquet(StageDir + "/q44_edges.parquet")
+      Dedup.connectedComponentsStar(sp.read.parquet(StageDir + "/q44_edges.parquet"))
+        .orderBy($"id")
+    }),
     // ---- seen-set membership probe (the wave's subtract step
     // standalone): initialize a frontier, then probe 2n URLs of which
     // the first n are the seeds themselves. The seen keys and the
@@ -1000,6 +1014,17 @@ object SparkEntry {
         |SELECT n.id AS id,
         |  least(n.id, min(r.b)) AS component,
         |  n.id = least(n.id, min(r.b)) AS keep
+        |FROM nodes n JOIN reach r ON r.a = n.id
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
+    "q44_cc_star" ->
+      """WITH RECURSIVE p AS (SELECT * FROM read_parquet('/tmp/graft_oracle_stage/q44_edges.parquet/*.parquet')),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS id FROM e)
+        |SELECT n.id AS id, least(n.id, min(r.b)) AS component
         |FROM nodes n JOIN reach r ON r.a = n.id
         |GROUP BY n.id ORDER BY n.id""".stripMargin,
     "q34_batch_topk" ->

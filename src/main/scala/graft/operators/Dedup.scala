@@ -190,13 +190,15 @@ object Dedup {
     * label (cheap `limit(1)` probe, not a full count). Rounds needed =
     * graph diameter; LSH-verified near-dup clusters are clique-like
     * (diameter ≤ 2-3), so this converges in 2-4 rounds at any corpus
-    * size. (For adversarially long path graphs the alternating
-    * large-star/small-star scheme — Kiveris et al., public — drops
-    * rounds to O(log n); not needed for dedup-shaped graphs.) */
+    * size. If maxIter rounds pass without convergence (adversarially
+    * long path graphs), the operator FALLS BACK to the alternating
+    * large-star/small-star scheme (`connectedComponentsStar`), which
+    * converges in O(log n)-ish rounds on ANY graph shape — the result
+    * is always exact. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-                          /** fail loudly instead of silently returning
-                            * split components when maxIter is reached
-                            * before convergence */
+                          /** retained for source compatibility: the
+                            * star fallback makes every result exact,
+                            * so nothing is ever silently split */
                           requireConverged: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
@@ -228,20 +230,105 @@ object Dedup {
       converged = !changed
       iter += 1
     }
-    edges.unpersist(blocking = false)
     if (!converged) {
       // min-label propagation needs ~diameter rounds: a path-shaped
-      // graph longer than maxIter+1 nodes exits here with WRONG
-      // (split) labels — never let that pass silently
-      val msg = s"connectedComponents did not converge after $maxIter rounds — " +
-        "labels are split for components with diameter > maxIter. Raise maxIter, " +
-        "or use the alternating large-star/small-star scheme (Kiveris et al.) " +
-        "for adversarially long path graphs."
-      if (requireConverged) throw new IllegalStateException(msg)
-      else System.err.println(s"[dedup] WARNING: $msg")
+      // graph longer than maxIter+1 nodes would exit here with WRONG
+      // (split) labels. Hand the edge set to the star scheme, whose
+      // round count is ~O(log n) regardless of diameter.
+      System.err.println(s"[dedup] connectedComponents: diameter > $maxIter propagation " +
+        "rounds — switching to large-star/small-star (exact at any diameter)")
+      val out = connectedComponentsStar(
+        edges.filter(col("src") < col("dst"))
+          .select(col("src").as("id_a"), col("dst").as("id_b")))
+      edges.unpersist(blocking = false)
+      return out
     }
+    edges.unpersist(blocking = false)
     labels
   }
+
+  /** Connected components via ALTERNATING LARGE-STAR/SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC 2014 — public algorithm): each round rewires edges toward
+    * per-neighborhood minima, halving effective component diameter, so
+    * a path of 10^4 nodes converges in ~log rounds where min-label
+    * propagation needs 10^4. Per round: two shuffles on node ids (one
+    * per star phase), edge set size never exceeds the input's — the
+    * 100 TB path for arbitrary graph shapes.
+    *
+    *  - large-star: for each node u, connect every STRICTLY LARGER
+    *    neighbor v > u to m = min(Γ(u) ∪ u)
+    *  - small-star: orient edges (big ← small); for each node b,
+    *    connect its smaller neighbors (and b) to their minimum
+    *
+    * Fixed point: every edge (v, m) points at its component's minimum
+    * (a star). Convergence detected by an order-independent edge-set
+    * fingerprint (count + decimal hash sum) — one cheap aggregate per
+    * round instead of an O(E) anti-join. Returns (id, component). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    val nodes = pairs.select(col("id_a").cast("long").as("id"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // canonical small-first orientation, self-loops dropped
+    var edges = pairs.select(
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.select(count(lit(1)),
+        sum(xxhash64(col("a"), col("b"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    var fp = fingerprint(edges)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // ---- large-star: u's larger neighbors attach to u's min -------
+      val both = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = both.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = both.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      // ---- small-star: b's smaller neighbors (and b) attach to min --
+      val minsB = afterLarge.groupBy("b").agg(min(col("a")).as("m"))
+      val rewired = afterLarge.join(minsB, "b")
+        .select(least(col("a"), col("m")).as("a"), greatest(col("a"), col("m")).as("b"))
+        .unionByName(afterLarge.join(minsB, "b").select(col("m").as("a"), col("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      val fpNext = fingerprint(rewired)
+      converged = fpNext == fp
+      fp = fpNext
+      edges = rewired
+      iter += 1
+    }
+    lastStarRounds = iter
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not reach a fixed point in $maxIter rounds " +
+          "(expected ~log2(n)); refusing to return possibly-split labels")
+    // stars: every non-root b has exactly one edge (root a, b)
+    val out = nodes.join(edges.select(col("b").as("id"), col("a").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** Rounds the last `connectedComponentsStar` call took — test
+    * instrumentation for the O(log n) round-count contract. */
+  @volatile private[operators] var lastStarRounds: Int = -1
 
   /** Dedup decision per clustered doc: keep the min id per component. */
   def keepPerComponent(components: DataFrame): DataFrame =

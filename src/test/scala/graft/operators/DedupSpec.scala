@@ -74,17 +74,47 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(keep == Set(1L, 10L, 20L))
   }
 
-  test("connectedComponents: non-convergence at maxIter is loud, not silent") {
+  test("connectedComponents: diameter > maxIter falls back to star scheme, result exact") {
     import spark.implicits._
-    // path of 16 nodes: diameter 15 — cannot converge in 2 rounds
+    // path of 16 nodes: diameter 15 — propagation cannot converge in 2
+    // rounds; the large-star/small-star fallback must return EXACT
+    // labels anyway (r3 failed loudly here; the star scheme removes
+    // the failure mode entirely)
     val path = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(path, maxIter = 2, requireConverged = true).collect()
-    }
-    // with enough rounds the same graph resolves to component 0
-    val cc = Dedup.connectedComponents(path, maxIter = 20, requireConverged = true)
+    val cc = Dedup.connectedComponents(path, maxIter = 2, requireConverged = true)
       .as[(Long, Long)].collect().toMap
-    assert(cc.values.toSet == Set(0L))
+    assert(cc.size == 16 && cc.values.toSet == Set(0L),
+      s"fallback labels wrong: $cc")
+  }
+
+  test("connectedComponentsStar: 10^4-node path converges in O(log n) rounds, exact labels") {
+    import spark.implicits._
+    val n = 10000
+    // two parallel paths with distinct minima + a handful of singleton
+    // pairs: worst-case diameter AND multiple components at once
+    val path1 = (0L until (n - 1).toLong).map(i => (i * 2, i * 2 + 2))
+    val path2 = (0L until (n - 1).toLong).map(i => (i * 2 + 1, i * 2 + 3))
+    val pairs = (path1 ++ path2 ++ Seq((30000L, 30001L))).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(cc.size == 2 * n + 2)
+    assert((0L until n.toLong).forall(i => cc(i * 2) == 0L), "even path mislabeled")
+    assert((0L until n.toLong).forall(i => cc(i * 2 + 1) == 1L), "odd path mislabeled")
+    assert(cc(30000L) == 30000L && cc(30001L) == 30000L)
+    // min-label propagation would need ~10^4 rounds here
+    assert(Dedup.lastStarRounds <= 35,
+      s"star scheme took ${Dedup.lastStarRounds} rounds — not O(log n)")
+  }
+
+  test("connectedComponentsStar == min-label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 400).map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val viaStar = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    val viaProp = Dedup.connectedComponents(pairs, maxIter = 40).as[(Long, Long)].collect().toMap
+    assert(viaStar == viaProp,
+      s"star vs propagation disagree on ${viaStar.toSet.diff(viaProp.toSet)}")
   }
 
   test("simhashPairs: mutated near-copies found, over-cap reported") {
