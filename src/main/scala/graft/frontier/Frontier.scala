@@ -52,6 +52,11 @@ final case class FrontierConfig(
     seed: Long = 42L,
     agent: String = "graft", // user-agent for robots group selection
     waveWindowSec: Int = 60, // politeness window a wave's budget paces over
+    /** auto-fold seen string deltas into the compacted base every K
+      * committed waves (compactSeen(wave-1) post-commit), so a long
+      * crawl's `seenUpTo` unions O(K) dirs instead of O(waves) with no
+      * manual calls. ≤0 disables (manual compaction only). */
+    compactEvery: Int = 8,
     /** bench mode: skip observability-only jobs (sorted user-facing
       * write, per-partition metrics, state count reports) — semantics
       * unchanged. Defaults from the GRAFT_BENCH env for CLI runs. */
@@ -724,6 +729,12 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // reclaim shard files superseded one wave ago (lag keeps a re-run
     // of THIS wave resolvable from the previous index)
     pruneSupersededShardFiles(wave)
+    // periodic seen-delta compaction, part of the wave loop (not a
+    // manual API): fold deltas ≤ wave-1 — strictly-older-than-latest,
+    // the crash-replay shape the resume suite proves — every K
+    // committed waves. O(seen) I/O amortized to O(seen/K) per wave.
+    if (cfg.compactEvery > 0 && wave > 0 && wave % cfg.compactEvery == 0)
+      compactSeen(wave - 1)
     res
   }
 

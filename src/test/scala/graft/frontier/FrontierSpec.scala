@@ -328,6 +328,30 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
     assert(f.seenDf(6).collect().map(_.getString(0)).sorted.toVector == before)
   }
 
+  test("auto-compaction inside the wave loop: long crawl keeps O(K) delta dirs, membership intact") {
+    val ckDir = tmpDir("autocompact")
+    val cfg = FrontierConfig(checkpointDir = ckDir, hostBudget = 4, seenShards = 16,
+      compactEvery = 4, fastMode = true)
+    val f = new Frontier(spark, cfg)
+    f.initialize(Frontier.syntheticSeeds(spark, 800))
+    (1 to 12).foreach(_ => f.runWave())
+    // waves 4, 8, 12 auto-compacted to 3, 7, 11: deltas on disk are
+    // wave 11's survivors + newer = at most compactEvery + 1 dirs
+    val deltaDirs = Files.list(Paths.get(ckDir, "seen")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("wave="))
+    assert(deltaDirs <= cfg.compactEvery + 1,
+      s"$deltaDirs delta dirs after 12 waves with compactEvery=${cfg.compactEvery}")
+    assert(Files.list(Paths.get(ckDir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("SEEN_BASE-")),
+      "no compaction base published by the wave loop")
+    // membership stays exact through auto-compaction: nothing is ever
+    // scheduled twice, and seeds remain members
+    val all = (1 to 12).flatMap(w =>
+      f.scheduledDf(w).select("surt_key").collect().map(_.getString(0)))
+    assert(all.size == all.toSet.size, "a surt was re-scheduled after auto-compaction")
+    assert(f.seenDf(12).count() >= 800)
+  }
+
   test("shard maintenance writes O(fresh) per wave: level files reused across waves") {
     val ckDir = tmpDir("lsm")
     val cfg = FrontierConfig(checkpointDir = ckDir, hostBudget = 3, seenShards = 16,
