@@ -5,23 +5,27 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Functions
 
-/** The crawl frontier + fetch scheduler (north rule, BASELINE.json).
+/** The crawl frontier + fetch scheduler (north rule, BASELINE.json):
+  * a per-host QUEUE-HEAD scheduler over head/fence/backlog state.
   *
   * A wave is one iterative batch round:
-  *   candidates (pending ∪ discovered)
-  *     → canonicalize (WHATWG normalize) → SURT key → host
-  *     → in-batch dedup (groupBy surt, deterministic min)
-  *     → seen-set subtraction: candidates shuffle by shard id ONLY;
-  *       each task loads its shard's LSM level files (each level =
-  *       cuckoo/bloom filter + exact 64-bit hash run) directly from
-  *       storage and decides membership in-task — no anti-join against
-  *       the seen store, no shard state in the shuffle, no filter
-  *       state on the driver
-  *     → robots filter (executor-side rule join)
-  *     → per-host politeness budget: two-phase top-K (salted local top-K
-  *       then host-level top-K) so one hot host cannot skew a partition
-  *     → scheduled wave, committed with an atomic manifest; seen +
-  *       frontier + per-partition lineage metrics checkpointed
+  *   schedule: per-host top-k_eff window over the HEAD table only —
+  *       O(heads), never O(pending); the same windowed frame yields
+  *       the head remainder (no state-vs-schedule anti-join)
+  *     → discover outlinks → canonicalize (WHATWG normalize) → SURT
+  *     → in-batch dedup + seen-set subtraction fused in ONE shuffle:
+  *       candidates group by shard id; each task loads its shard's LSM
+  *       level files (cuckoo/bloom filter + exact 64-bit hash run)
+  *       directly from storage and decides membership in-task — no
+  *       anti-join against the seen store, no shard state in the
+  *       shuffle, no filter state on the driver
+  *     → robots gate at INSERT (pre-parsed rule join) — pending only
+  *       ever holds allowed rows; seen membership stays pre-robots
+  *     → head/fence/backlog maintenance (see maintainFrontier):
+  *       fresh routes by fence, spill appends a bucketed backlog
+  *       delta, needy hosts refill from their buckets only
+  *     → scheduled wave committed with an atomic manifest; seen +
+  *       state + per-partition lineage metrics checkpointed
   *
   * Determinism: every ordering is total — (priority, surt_key) with surt
   * as the tiebreak — so the same seed list + budget reproduce the same
@@ -34,18 +38,30 @@ import graft.Functions
   * `pmod(hash(surt), shards)`; at 10^10 keys and 4096 shards each shard
   * holds ~2.4M fingerprints (~10 MB cuckoo) + ~20 MB of exact hash
   * runs — a task reads only the shards its candidates probe. Per-wave
-  * seen-subtraction cost: shuffle O(candidates); storage read
-  * O(probed shards); state write O(shards touched by fresh keys). Hot
-  * hosts are bounded by the salt phase before any host-level shuffle.
+  * costs: seen-subtraction shuffle O(candidates); storage read
+  * O(probed shards); state writes O(fresh + heads + hosts); scheduling
+  * shuffle O(heads); backlog touched only by appends and needy-bucket
+  * refills. A 10^10-row pending backlog is NEVER windowed, anti-joined,
+  * or rewritten by a wave — the r3 design's remaining O(pending)
+  * scheduling cost is gone.
   */
 final case class FrontierConfig(
     checkpointDir: String,
     hostBudget: Int = 8, // fetches per host per wave
     // salt width bounds the hottest (host, salt) window group at
     // ~hottest-host/salt rows; 32 keeps a 5%-of-wave Zipf head host
-    // from serializing one reducer (phase-2 input stays ≤ salt*budget
-    // rows per host, so a wider salt costs almost nothing)
+    // from serializing one reducer in the INIT top-M split (phase-2
+    // input stays ≤ salt*headMult*budget rows per host)
     salt: Int = 32,
+    /** per-host QUEUE-HEAD capacity multiplier: the head table targets
+      * M = headMult × hostBudget rows per host, so a host needs a
+      * backlog refill only every ~(headMult−1) waves. 1 = refill every
+      * wave (maximum backlog traffic, still exact). */
+    headMult: Int = 4,
+    /** backlog host-hash buckets: refills read ONLY the buckets of
+      * needy hosts (directory-level pruning). Production sizing:
+      * ~total-backlog/bucket should fit a comfortable scan unit. */
+    backlogBuckets: Int = 64,
     seenShards: Int = 64,
     outlinksPerUrl: Int = 3,
     hostPool: Int = 200, // synthetic outlink host universe
@@ -498,34 +514,247 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       df.filter(!disallowed(col("host"), col("canonical_url")))
   }
 
-  /** Two-phase per-host top-K with salting (hot-host skew control).
-    * With a robots table, a host's Crawl-delay shrinks its budget to
-    * floor(waveWindowSec / delay) — politeness pacing expressed as a
-    * per-wave cap (broadcast join of the tiny per-host delay table). */
-  private def hostBudget(df: DataFrame): DataFrame = {
+  /** Attach the effective per-host budget `k_eff` = hostBudget, shrunk
+    * by a robots Crawl-delay to floor(waveWindowSec / delay) —
+    * politeness pacing expressed as a per-wave cap (broadcast join of
+    * the tiny per-host delay table). Without a robots table the budget
+    * is a constant-folded literal. */
+  private def withKeff(df: DataFrame): DataFrame = {
     val k = cfg.hostBudget
-    // literal budget when no robots table: the per-host k_eff column is
-    // only materialized on the robots path, so the common path keeps
-    // its constant-folded filters
-    val (withK, kCol) = robotsTables match {
+    robotsTables match {
       case Some((_, delaysTable)) =>
         val delays = delaysTable
           .select(col("host"),
             least(lit(k), greatest(lit(1),
               floor(lit(cfg.waveWindowSec) / col("crawl_delay")).cast("int"))).as("k_eff"))
-        (df.join(broadcast(delays), Seq("host"), "left")
-          .withColumn("k_eff", coalesce(col("k_eff"), lit(k))), col("k_eff"))
-      case None => (df, lit(k))
+        df.join(broadcast(delays), Seq("host"), "left")
+          .withColumn("k_eff", coalesce(col("k_eff"), lit(k)))
+      case None => df.withColumn("k_eff", lit(k))
     }
-    val salted = withK.withColumn("salt", pmod(hash(col("surt_key")), lit(cfg.salt)))
-    val w1 = Window.partitionBy(col("host"), col("salt"))
-      .orderBy(col("priority"), col("surt_key"))
-    val local = salted.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= kCol)
-    val w2 = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
-    val out = local.withColumn("rank_in_host", row_number().over(w2))
-      .filter(col("rank_in_host") <= kCol)
-      .drop("salt", "rn1")
-    if (robots.isDefined) out.drop("k_eff") else out
+  }
+
+  // ----------------------------------------------------------------
+  // Queue-head frontier state: head + fence + bucketed backlog
+  // ----------------------------------------------------------------
+  // The pending frontier is split per host into a small HEAD (the
+  // rows scheduling actually consults) and an append-only host-
+  // bucketed BACKLOG, separated by a per-host FENCE — a (priority,
+  // surt) watermark.
+  //
+  //   head(host)        = all pending rows ≤ fence(host)   (≈ M rows)
+  //   backlogLive(host) = all pending rows > fence(host)
+  //
+  // fence = NULL means "never spilled": the host has NO backlog rows
+  // and its whole queue sits in the head. Fences are MONOTONE — set
+  // once (first spill, at the then-Mth-best row), raised by refills,
+  // never lowered — so a row moved from backlog to head can ignore its
+  // stale backlog copy forever: stale copies (≤ fence) are invisible
+  // to every read (all backlog reads filter `> fence`) and are
+  // physically dropped at backlog compaction.
+  //
+  // EXACTNESS (the invariant the parity suites + q29/q35 oracles
+  // gate): after each wave's maintenance, any host with live backlog
+  // (bn > 0) holds ≥ hostBudget head rows (refilled to M when it
+  // dropped below). head = pending ≤ fence and backlog = pending >
+  // fence then give per-host top-k_eff(head) == top-k_eff(pending)
+  // for every k_eff ≤ hostBudget — scheduling from the head equals
+  // scheduling from the full pending set, while touching O(heads)
+  // instead of O(pending) rows.
+  //
+  // Costs per wave: scheduling shuffles O(head); insertion shuffles
+  // O(fresh + hosts) (fence join + host group); spill appends
+  // O(spilled) as a new bucketed delta (never rewrites the backlog);
+  // refill reads ONLY the backlog buckets containing needy hosts —
+  // directory-pruned — amortized O(scheduled) rows moved per wave.
+  // Nothing anywhere is O(pending).
+
+  private val PendingSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("surt_key", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("canonical_url", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("priority", org.apache.spark.sql.types.IntegerType)))
+
+  private def headM: Int = math.max(cfg.hostBudget, cfg.headMult * cfg.hostBudget)
+
+  private def bucketCol: org.apache.spark.sql.Column =
+    pmod(hash(col("host")), lit(cfg.backlogBuckets))
+
+  /** One maintenance dir per wave, ONE write job per wave: rows land
+    * under `maint/wave=N/dest={head,spill,fence}/bucket=<b>` from a
+    * single routed frame — the wave's whole head/spill/fence decision
+    * is one partitioned write instead of a chain of per-sink jobs, and
+    * the small per-host aggregates (head counts, spill counts, fence
+    * sets) come back as cheap columnar reads of what was just
+    * written. */
+  private def maintDir(wave: Int): String = dir("maint", s"wave=$wave")
+  private def headDir(wave: Int): String = maintDir(wave) + "/dest=head"
+  private def spillDir(wave: Int): String = maintDir(wave) + "/dest=spill"
+
+  private def pathExists(d: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def emptyPending: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PendingSchema)
+
+  /** Schema-pinned recursive read (bucket subdirs are storage layout,
+    * not data); empty frame when the dest partition wrote no rows. */
+  private def readDest(d: String): DataFrame =
+    if (!pathExists(d)) emptyPending
+    else spark.read.schema(PendingSchema).option("recursiveFileLookup", "true").parquet(d)
+
+  private def headDf(wave: Int): DataFrame = readDest(headDir(wave))
+
+  private val FenceSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("fs", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bn", org.apache.spark.sql.types.LongType)))
+
+  /** (host, fp, fs, bn): fence priority/surt (NULL = never spilled)
+    * and live-backlog row count. One row per host that ever spilled. */
+  private def fenceDf(wave: Int): DataFrame =
+    spark.read.schema(FenceSchema).parquet(dir("fence", s"wave=$wave"))
+
+  /** Wave numbers whose maint dir still holds a spill (backlog delta)
+    * partition. */
+  private def backlogDeltaWaves(): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(cfg.checkpointDir, "maint")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName.stripPrefix("wave=").toIntOption
+        .filter(_ => st.getPath.getName.startsWith("wave="))
+        .filter(w => fs.exists(new org.apache.hadoop.fs.Path(spillDir(w))))
+    }
+  }
+
+  private def latestBacklogBase(wave: Int): Option[Int] = {
+    val re = "BACKLOG_BASE-(\\d+)\\.json".r
+    val c = listMarkerWaves(re).filter(_ <= wave)
+    if (c.isEmpty) None else Some(c.max)
+  }
+
+  /** Top-level backlog dirs readable as of `wave`: compacted base +
+    * newer deltas, enumerated explicitly (an uncommitted crashed
+    * wave's partial delta and folded deltas are never read). */
+  private def backlogDirs(wave: Int): Seq[String] = {
+    val base = latestBacklogBase(wave)
+    val b = base.getOrElse(-1)
+    base.map(bb => dir("backlog_base", s"upto=$bb")).toSeq ++
+      backlogDeltaWaves().filter(w => w > b && w <= wave).sorted.map(spillDir)
+  }
+
+  /** Live backlog rows as of `wave`: fence join drops stale copies of
+    * refilled rows. O(backlog) — observability/compaction path only,
+    * never part of a wave. */
+  private def backlogLive(wave: Int, fence: DataFrame): DataFrame = {
+    // enumerate concrete bucket dirs (partition discovery would treat
+    // the delta=N roots as conflicting partition structures)
+    val dirs = backlogBucketDirs(wave, (0 until cfg.backlogBuckets).toSet)
+    if (dirs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PendingSchema)
+    val raw = spark.read.schema(PendingSchema).parquet(dirs: _*)
+      .select("surt_key", "canonical_url", "host", "priority")
+    raw.join(fence.select(col("host"), col("fp"), col("fs")), Seq("host"), "inner")
+      .filter(col("fp").isNotNull &&
+        (col("priority") > col("fp") ||
+          (col("priority") === col("fp") && col("surt_key") > col("fs"))))
+      .select("surt_key", "canonical_url", "host", "priority")
+  }
+
+  /** The bucket=<b> subdirectories of the readable backlog dirs whose
+    * bucket id is in `buckets` and which physically exist — the
+    * directory-pruned refill read set. */
+  private def backlogBucketDirs(wave: Int, buckets: Set[Int]): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    backlogDirs(wave).flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        n.stripPrefix("bucket=").toIntOption match {
+          case Some(b) if n.startsWith("bucket=") && buckets.contains(b) =>
+            Some(st.getPath.toString)
+          case _ => None
+        }
+      }
+    }
+  }
+
+
+  /** Fold backlog deltas ≤ `upTo` (committed) into one compacted
+    * bucketed base, dropping dead rows (≤ fence — stale refill copies)
+    * for good. Marker-published; readers enumerate (base, deltas >
+    * base) so a crash anywhere leaves only unread garbage. Runs every
+    * `compactEvery` waves from the wave loop: O(backlog) I/O amortized
+    * to O(backlog/K) per wave. */
+  def compactBacklog(upTo: Int): Unit = {
+    require(upTo <= latestCommittedWave(), s"wave $upTo not committed yet")
+    if (latestBacklogBase(upTo).contains(upTo)) return
+    if (backlogDirs(upTo).isEmpty) return
+    val prevBase = latestBacklogBase(upTo)
+    val live = backlogLive(upTo, fenceDf(upTo))
+    live.select(col("surt_key"), col("canonical_url"), col("host"), col("priority"),
+        bucketCol.as("bucket"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(dir("backlog_base", s"upto=$upTo"))
+    publishMarker(s"BACKLOG_BASE-$upTo.json", s"""{"upto":$upTo}""")
+    val conf = spark.sessionState.newHadoopConf()
+    def rm(path: String): Unit =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, true); ()
+      } catch { case _: Exception => }
+    prevBase.foreach { b =>
+      deleteMarker(s"BACKLOG_BASE-$b.json")
+      rm(dir("backlog_base", s"upto=$b"))
+    }
+    // folded spill deltas go; their maint dir disappears once the
+    // head/fence partitions were pruned too (non-recursive no-op else)
+    backlogDeltaWaves().filter(_ <= upTo).foreach { w =>
+      rm(spillDir(w))
+      try {
+        val p = new org.apache.hadoop.fs.Path(maintDir(w))
+        val fs = p.getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
+        fs.delete(p, false); ()
+      } catch { case _: Exception => }
+    }
+  }
+
+  /** Delete superseded per-wave state: fence dirs and the head/fence
+    * partitions of maint dirs ≤ wave-2 (resume reads at most state
+    * wave-1; spill partitions are BACKLOG and live until compaction).
+    * Self-healing (diffs the disk, not a fixed offset). */
+  private def pruneFrontierState(wave: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def waveDirs(kind: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
+      val root = new org.apache.hadoop.fs.Path(cfg.checkpointDir, kind)
+      try {
+        val fs = root.getFileSystem(conf)
+        if (!fs.exists(root)) Nil
+        else fs.listStatus(root).toSeq.flatMap { d =>
+          d.getPath.getName.stripPrefix("wave=").toIntOption
+            .filter(_ => d.getPath.getName.startsWith("wave="))
+            .map(w => (w, d.getPath))
+        }
+      } catch { case _: Exception => Nil }
+    }
+    for ((w, p) <- waveDirs("fence") if w <= wave - 2)
+      try { p.getFileSystem(conf).delete(p, true); () } catch { case _: Exception => }
+    for ((w, p) <- waveDirs("maint") if w <= wave - 2) {
+      val fs = p.getFileSystem(conf)
+      for (sub <- Seq("dest=head", "dest=fence", "_SUCCESS"))
+        try { fs.delete(new org.apache.hadoop.fs.Path(p, sub), true); () }
+        catch { case _: Exception => }
+      // reclaim the wave dir once the spill partition is also gone
+      try { fs.delete(p, false); () } catch { case _: Exception => }
+    }
   }
 
   // ----------------------------------------------------------------
@@ -577,7 +806,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   // ----------------------------------------------------------------
 
   /** Initialize state from a seed URL list (DataFrame with url,
-    * priority). Commits wave 0 (nothing scheduled yet). */
+    * priority). Canonicalizes + dedups, admits everything to the SEEN
+    * set (membership parity with the reference is insert-time,
+    * pre-robots), gates robots at insert, and writes the whole
+    * allowed queue as the wave-0 head — the per-host top-M cut is
+    * LAZY (wave 1's schedule window, which must sort the head anyway,
+    * trims it and sets the first fences), so init is pure O(seeds)
+    * I/O with zero exchanges. Commits wave 0. */
   def initialize(seeds: DataFrame): WaveResult = {
     val t0 = System.nanoTime()
     val debug = sys.env.get("GRAFT_DEBUG").contains("1")
@@ -591,32 +826,35 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       .groupBy("surt_key")
       .agg(min("priority").as("priority"),
         min("canonical_url").as("canonical_url"), min("host").as("host"))
-    val pending = canon.select("surt_key", "canonical_url", "host", "priority")
-    // count observed on the write job itself — no read-back count job
-    val obs = org.apache.spark.sql.Observation()
-    pending.observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(dir("frontier", "wave=0"))
-    phase("frontier write")
-    // seen = surt_key projection of the JUST-WRITTEN frontier: a
-    // single-column parquet read, not a recompute of the whole
-    // canonicalize+dedup DAG (which would double init cost). The seen
-    // delta write and the shard build both derive from it and are
-    // independent — submitted concurrently (same rationale as the
-    // per-wave state writes).
+      .select("surt_key", "canonical_url", "host", "priority")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = Frontier.stateWriteEc
-    val frontier0 = spark.read.parquet(dir("frontier", "wave=0"))
+    val obs = org.apache.spark.sql.Observation()
     val fSeen = Future {
-      frontier0.select("surt_key")
+      canon.select("surt_key").observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(dir("seen", "wave=0"))
     }
     val fShards = Future {
-      writeIndex(0, updateShardFiles(Map.empty, frontier0.select("surt_key"), 0))
+      writeIndex(0, updateShardFiles(Map.empty, canon.select("surt_key"), 0))
+    }
+    val fState = Future {
+      // LAZY head split: the ENTIRE allowed seed set becomes the head
+      // — no window, no shuffle, a straight filtered write. Wave 1's
+      // schedule window (which must sort the head anyway) performs the
+      // per-host top-M cut and sets the first fences; init itself is
+      // O(seeds) I/O with zero exchanges.
+      applyRobots(canon).write.mode("overwrite").parquet(headDir(0))
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FenceSchema)
+        .write.mode("overwrite").parquet(dir("fence", "wave=0"))
     }
     Await.result(fSeen, Duration.Inf)
     Await.result(fShards, Duration.Inf)
-    phase("seen+shards build (concurrent)")
+    Await.result(fState, Duration.Inf)
+    canon.unpersist(blocking = false)
+    phase("seen+shards+head/backlog split (concurrent)")
     val n = obs.get("n").asInstanceOf[Long]
     val res = WaveResult(0, n, n, n, n, 0, n, n, (System.nanoTime() - t0) / 1e9)
     commit(0, res)
@@ -638,12 +876,28 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       tPhase = now
     }
 
-    val pending = spark.read.parquet(dir("frontier", s"wave=$prev"))
     val prevIdx = readIndex(prev)
+    val head = headDf(prev)
+    val fencePrev = fenceDf(prev)
 
-    // 1. schedule from pending under politeness budget
-    val allowed = applyRobots(pending)
-    val scheduled = hostBudget(allowed)
+    // 1. schedule from the HEAD under the politeness budget: a plain
+    // per-host window — head rows per host are bounded by ~M, so no
+    // salting is needed here (hot-host mass lives in the backlog, not
+    // the head). The SAME ranked frame yields both the scheduled rows
+    // (rank ≤ k_eff) and the head remainder (rank > k_eff) — no
+    // anti-join of state against schedule exists anymore.
+    // The same ranked frame ALSO drives the LAZY head cut (see
+    // maintainFrontier): never-spilled hosts whose queue overflowed M
+    // get trimmed here — rank > M rows spill, the rank-M row becomes
+    // the first fence — since this window must sort the head anyway,
+    // the cut costs no extra shuffle, ever.
+    val w = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
+    val ranked = withKeff(head)
+      .join(fencePrev.select(col("host"), col("fp"), col("fs")), Seq("host"), "left")
+      .withColumn("rank_in_host", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("host"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scheduled = ranked.filter(col("rank_in_host") <= col("k_eff"))
       .withColumn("wave", lit(wave))
       .select("host", "surt_key", "canonical_url", "priority", "rank_in_host", "wave")
     val scheduledOut = if (fast) scheduled else scheduled.orderBy("priority", "host", "surt_key")
@@ -675,33 +929,16 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val nFresh = fresh.count()
     phase("discover+subtract")
 
-    // 4. new state: pending minus scheduled, plus fresh discoveries.
-    // No re-dedup needed: `stillPending` ⊆ seen and `fresh` ∩ seen = ∅
-    // (fresh was subtracted), and both sides are internally deduped —
-    // so plain unions replace two full-state shuffles per wave.
-    //
-    // The three state sinks below (frontier, seen delta, shard files)
-    // all hang off the PERSISTED `fresh` and are mutually independent,
-    // so their jobs are submitted CONCURRENTLY — at small executor
-    // counts each job alone underfills the cluster during its stage
-    // tails, and overlapping them recovers that idle time. Crash
-    // consistency is unaffected: any subset of the writes is invisible
-    // until the manifest commits, and a re-run overwrites all three
-    // idempotently.
+    // 4. state updates. The three sinks (seen delta, shard files, and
+    // the head/fence/backlog maintenance chain) all hang off the
+    // PERSISTED `fresh` and are mutually independent, so their jobs
+    // are submitted CONCURRENTLY. Crash consistency is unaffected: any
+    // subset of the writes is invisible until the manifest commits,
+    // and a re-run overwrites everything idempotently.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       Frontier.stateWriteEc
-    val stillPending = pending.join(
-      scheduledR.select("surt_key"), Seq("surt_key"), "left_anti")
-    val newPending = stillPending.unionByName(fresh)
-      .select("surt_key", "canonical_url", "host", "priority")
-    val fPending = Future {
-      // internal state is written UNSORTED — ordering semantics live in
-      // the data itself (priority, surt_key, rank_in_host); only the
-      // user-facing scheduled output pays for a global sort
-      newPending.write.mode("overwrite").parquet(dir("frontier", s"wave=$wave"))
-    }
     val fSeen = Future {
       // seen DELTA: persist only this wave's fresh keys (O(fresh) write)
       fresh.select("surt_key").write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
@@ -712,30 +949,191 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       writeIndex(wave, prevIdx ++ updatedShards)
       updatedShards
     }
-    Await.result(fPending, Duration.Inf)
+    val fState = Future { maintainFrontier(ranked, fencePrev, fresh, wave) }
     Await.result(fSeen, Duration.Inf)
     Await.result(fShards, Duration.Inf)
+    Await.result(fState, Duration.Inf)
     fresh.unpersist(blocking = false)
-    phase("state writes (frontier+seen+shards, concurrent)")
+    ranked.unpersist(blocking = false)
+    phase("state writes (head/fence/backlog+seen+shards, concurrent)")
 
     // scheduled count came from the write job's Observation; state-size
     // reports are observability, skipped in bench mode
     val nScheduled = schedObs.get("n").asInstanceOf[Long]
     val nSeen = if (fast) -1L else seenUpTo(wave).count()
-    val nPending = if (fast) -1L else spark.read.parquet(dir("frontier", s"wave=$wave")).count()
+    val nPending = if (fast) -1L
+      else headDf(wave).count() +
+        fenceDf(wave).agg(coalesce(sum(col("bn")), lit(0L))).head().getLong(0)
     val res = WaveResult(wave, nFresh, nFresh, nFresh, nScheduled,
       nScheduled, nSeen, nPending, (System.nanoTime() - t0) / 1e9)
     commit(wave, res)
     // reclaim shard files superseded one wave ago (lag keeps a re-run
-    // of THIS wave resolvable from the previous index)
+    // of THIS wave resolvable from the previous index), plus head/fence
+    // dirs older than the resume horizon
     pruneSupersededShardFiles(wave)
-    // periodic seen-delta compaction, part of the wave loop (not a
-    // manual API): fold deltas ≤ wave-1 — strictly-older-than-latest,
+    pruneFrontierState(wave)
+    // periodic compaction, part of the wave loop (not a manual API):
+    // fold seen + backlog deltas ≤ wave-1 — strictly-older-than-latest,
     // the crash-replay shape the resume suite proves — every K
-    // committed waves. O(seen) I/O amortized to O(seen/K) per wave.
-    if (cfg.compactEvery > 0 && wave > 0 && wave % cfg.compactEvery == 0)
+    // committed waves. O(state) I/O amortized to O(state/K) per wave.
+    if (cfg.compactEvery > 0 && wave > 0 && wave % cfg.compactEvery == 0) {
       compactSeen(wave - 1)
+      compactBacklog(wave - 1)
+    }
     res
+  }
+
+  /** The wave's head/fence/backlog maintenance — every step costs
+    * O(head + fresh + hosts + refilled-backlog), never O(pending):
+    *
+    *  1. LAZY CUT, fused into the schedule window: the ranked head
+    *     frame (already sorted per host for scheduling) trims each
+    *     never-spilled host whose queue exceeded M — rank > M rows
+    *     spill, the rank-M row becomes the host's first fence. The
+    *     cut is free (the schedule had to sort the head anyway) and
+    *     finite-fence hosts are never trimmed (fences are monotone —
+    *     no row at-or-below a fence may ever re-enter the backlog,
+    *     where stale refill copies live).
+    *  2. fresh (robots-gated at insert) joins the post-cut fence
+    *     table and ROUTES with no window at all: above-fence rows
+    *     append to the wave's backlog delta; everything else goes
+    *     straight to the head. A brand-new host's whole queue rides
+    *     in the head until the next schedule window cuts it — bounded
+    *     overgrowth for one wave, exactness unaffected (the head is
+    *     still exactly "pending at-or-below the fence").
+    *  3. state lands in TWO writes: the head (pure cached scans — no
+    *     shuffle) and the bucketed spill delta (one small shuffle of
+    *     just the spilled rows); per-host head/spill counts come back
+    *     as columnar reads of what was written.
+    *  4. refill: hosts with live backlog (bn > 0) whose head dropped
+    *     below hostBudget pull their per-host top-(M − |head|) back
+    *     from the backlog — reading ONLY the needy hosts' bucket
+    *     dirs — and their fences RAISE to the max refilled row (stale
+    *     copies left behind become invisible to every later read).
+    */
+  private def maintainFrontier(ranked: DataFrame, fencePrev: DataFrame,
+                               fresh: DataFrame, wave: Int): Unit = {
+    import spark.implicits._
+    val debug = sys.env.get("GRAFT_DEBUG").contains("1")
+    var tSub = System.nanoTime()
+    def sub(name: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      System.err.println(f"[frontier]   maint $name: ${(now - tSub) / 1e9}%.2fs")
+      tSub = now
+    }
+    val M = headM
+    val pcols = Seq("surt_key", "canonical_url", "host", "priority")
+    val wHost = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
+    // a crashed earlier attempt may have left partial subdirs; the
+    // wave's state is rebuilt from scratch (invisible until commit)
+    try {
+      val p = new org.apache.hadoop.fs.Path(maintDir(wave))
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true); ()
+    } catch { case _: Exception => }
+
+    // 1. lazy cut from the schedule frame (all cached scans)
+    val keepHead = ranked.filter(col("rank_in_host") > col("k_eff") &&
+        (col("fp").isNotNull || col("rank_in_host") <= M))
+      .select(pcols.map(col): _*)
+    val schedSpill = ranked.filter(col("fp").isNull && col("rank_in_host") > M)
+      .select(pcols.map(col): _*)
+    // first-spill fences: one row per overflowing never-spilled host
+    val schedFence = ranked.filter(col("fp").isNull &&
+        col("rank_in_host") === M && col("cnt") > M)
+      .select(col("host"), col("priority").as("nfp"), col("surt_key").as("nfs"))
+
+    // 2. fresh routing against the POST-CUT fence view
+    val fenceRoute = fencePrev.select(col("host"), col("fp"), col("fs"))
+      .join(schedFence, Seq("host"), "full_outer")
+      .select(col("host"),
+        coalesce(col("nfp"), col("fp")).as("fp"),
+        coalesce(col("nfs"), col("fs")).as("fs"))
+    val freshAllowed = applyRobots(fresh.select(pcols.map(col): _*))
+    val fj = freshAllowed.join(fenceRoute, Seq("host"), "left")
+    val aboveFence = col("fp").isNotNull &&
+      (col("priority") > col("fp") ||
+        (col("priority") === col("fp") && col("surt_key") > col("fs")))
+    val freshHead = fj.filter(!aboveFence).select(pcols.map(col): _*)
+    val freshSpill = fj.filter(aboveFence).select(pcols.map(col): _*)
+
+    // 3. two state writes: shuffle-free head, bucketed spill delta
+    keepHead.unionByName(freshHead)
+      .write.mode("overwrite").parquet(headDir(wave))
+    sub("head write (no shuffle)")
+    schedSpill.unionByName(freshSpill)
+      .withColumn("bucket", bucketCol)
+      .repartition(col("bucket")) // one file per bucket
+      .write.partitionBy("bucket").mode("overwrite").parquet(spillDir(wave))
+    sub("spill write")
+
+    // fence accounting from the written state + the in-memory fence sets
+    val spilledCounts = readDest(spillDir(wave))
+      .groupBy("host").agg(count(lit(1)).as("spilled"))
+    val headCounts = readDest(headDir(wave))
+      .groupBy("host").agg(count(lit(1)).as("hc"))
+    val fence2 = fenceRoute
+      .join(fencePrev.select(col("host"), col("bn")), Seq("host"), "left")
+      .join(spilledCounts, Seq("host"), "full_outer")
+      .select(col("host"), col("fp"), col("fs"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("spilled"), lit(0L))).as("bn"))
+
+    // 4. refill: needy = live backlog and head below the politeness budget
+    val needy = fence2
+      .join(headCounts, Seq("host"), "left")
+      .select(col("host"), col("fp"), col("fs"), col("bn"),
+        coalesce(col("hc"), lit(0L)).as("hc"))
+      .filter(col("bn") > 0 && col("hc") < cfg.hostBudget)
+      .withColumn("deficit", lit(M.toLong) - col("hc"))
+      .withColumn("bucket", bucketCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rlOpt: Option[DataFrame] = None
+    val needyEmpty = needy.isEmpty
+    sub("fence2+needy")
+    val fenceFinal =
+      if (needyEmpty) fence2
+      else {
+        val buckets = needy.select("bucket").distinct().as[Int].collect().toSet
+        val dirs = backlogBucketDirs(wave, buckets)
+        val raw =
+          if (dirs.isEmpty) emptyPending
+          else spark.read.schema(PendingSchema).parquet(dirs: _*)
+        val live = raw
+          .join(needy.select(col("host"), col("fp"), col("fs"), col("deficit")),
+            Seq("host"), "inner")
+          .filter(aboveFence) // strictly above: stale refilled copies drop out
+        val rl = live.withColumn("rk", row_number().over(wHost))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rlOpt = Some(rl)
+        // refilled rows APPEND to the head partition (this wave's dir
+        // was cleared above, so only this run's files exist)
+        rl.filter(col("rk") <= col("deficit"))
+          .select(pcols.map(col): _*)
+          .write.mode("overwrite").parquet(headDir(wave) + "/refill")
+        val refillAgg = rl.groupBy("host").agg(
+          count(lit(1)).as("liveCnt"),
+          sum(when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("takenCnt"),
+          max(when(col("rk") <= col("deficit"),
+            struct(col("priority").as("p"), col("surt_key").as("s")))).as("mx"))
+        val adj = needy.select(col("host"), lit(true).as("isNeedy"))
+          .join(refillAgg, Seq("host"), "left")
+        fence2.join(adj, Seq("host"), "left")
+          .select(col("host"),
+            when(col("takenCnt").isNotNull && col("takenCnt") > 0, col("mx.p"))
+              .otherwise(col("fp")).as("fp"),
+            when(col("takenCnt").isNotNull && col("takenCnt") > 0, col("mx.s"))
+              .otherwise(col("fs")).as("fs"),
+            // needy hosts resync bn from the rows actually read — exact
+            // even if a compaction physically dropped dead rows
+            when(col("isNeedy"),
+              coalesce(col("liveCnt"), lit(0L)) - coalesce(col("takenCnt"), lit(0L)))
+              .otherwise(col("bn")).as("bn"))
+      }
+    sub("refill")
+    fenceFinal.select("host", "fp", "fs", "bn")
+      .write.mode("overwrite").parquet(dir("fence", s"wave=$wave"))
+    sub("fence write")
+    needy.unpersist(blocking = false)
+    rlOpt.foreach(_.unpersist(blocking = false))
   }
 
   /** Seen-membership probe: the fresh (never-seen) subset of `urls`
@@ -752,10 +1150,20 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   }
 
   def scheduledDf(wave: Int): DataFrame = spark.read.parquet(dir("scheduled", s"wave=$wave"))
-  /** Pending frontier state as of `wave` — exposed so the scheduling
-    * step (robots + politeness budget + ordering) of wave+1 can be
-    * oracle-checked against its exact input. */
-  def pendingDf(wave: Int): DataFrame = spark.read.parquet(dir("frontier", s"wave=$wave"))
+  /** FULL pending frontier as of `wave` (head ∪ live backlog) — the
+    * observability/oracle view. Wave scheduling itself never touches
+    * this; exposing it lets wave+1's schedule be re-derived from the
+    * complete pending set and compared against the head-only schedule
+    * — i.e. the oracle CHECKS the queue-head invariant. O(pending)
+    * read; valid for waves ≥ latestCommitted−1 (older head/fence dirs
+    * are pruned). */
+  def pendingDf(wave: Int): DataFrame =
+    headDf(wave).unionByName(backlogLive(wave, fenceDf(wave)))
+  /** Per-host queue-head table as of `wave` (the rows wave+1's
+    * scheduling actually consults). */
+  def headTableDf(wave: Int): DataFrame = headDf(wave)
+  /** Per-host fence/backlog accounting as of `wave`. */
+  def fenceTableDf(wave: Int): DataFrame = fenceDf(wave)
   /** Full seen membership as of `wave` (union of committed deltas). */
   def seenDf(wave: Int): DataFrame = seenUpTo(wave)
   def metricsDf(wave: Int): DataFrame = spark.read.parquet(dir("metrics", s"wave=$wave"))

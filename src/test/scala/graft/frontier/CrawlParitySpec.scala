@@ -10,9 +10,24 @@ import java.nio.file.Files
 class CrawlParitySpec extends AnyFunSuite with SparkTestBase {
 
   test("distributed schedule == sequential reference schedule, 3 waves") {
-    val cfg = FrontierConfig(
+    parityRun("crawl-parity", FrontierConfig(
       checkpointDir = graft.Scratch.dir("crawl-parity").toString,
-      hostBudget = 4, seenShards = 8, outlinksPerUrl = 3, hostPool = 60)
+      hostBudget = 4, seenShards = 8, outlinksPerUrl = 3, hostPool = 60), waves = 3)
+  }
+
+  test("refill stress: headMult=1 (refill every wave) still matches the reference, 5 waves") {
+    // M = hostBudget: every scheduled host drains its whole head each
+    // wave and must refill from the bucketed backlog before the next —
+    // the maximum-traffic path through fence raises + stale-copy
+    // filtering. Exactness must be bit-identical to the sequential
+    // reference anyway.
+    parityRun("crawl-parity-refill", FrontierConfig(
+      checkpointDir = graft.Scratch.dir("crawl-parity-refill").toString,
+      hostBudget = 4, headMult = 1, backlogBuckets = 8,
+      seenShards = 8, outlinksPerUrl = 3, hostPool = 60), waves = 5)
+  }
+
+  private def parityRun(name: String, cfg: FrontierConfig, waves: Int): Unit = {
 
     // identical seed list on both sides
     val seedRows = Frontier.syntheticSeeds(spark, 1000).collect()
@@ -25,7 +40,7 @@ class CrawlParitySpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     f.initialize(seedRows.toDF("url", "priority"))
 
-    for (wave <- 1 to 3) {
+    for (wave <- 1 to waves) {
       val expect = sim.runWave().map { case (e, rank) =>
         (e.priority, e.host, e.surtKey, rank)
       }
@@ -39,7 +54,7 @@ class CrawlParitySpec extends AnyFunSuite with SparkTestBase {
     }
 
     // URL-seen membership identical
-    val engineSeen = f.seenDf(3).collect().map(_.getString(0)).toSet
+    val engineSeen = f.seenDf(waves).collect().map(_.getString(0)).toSet
     assert(engineSeen == sim.seenSet, "seen membership differs from reference")
   }
 }
