@@ -131,6 +131,25 @@ object ScalingBench {
           "spark.locality.wait" -> "0"))
       case None => GraftSession.create(s"local[$cores]", benchMode = true)
     }
+    // GRAFT_JOBLOG=1: per-job wall times to stderr (perf forensics)
+    if (sys.env.get("GRAFT_JOBLOG").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(j.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          starts.put(j.jobId, (System.nanoTime(), desc))
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(j.jobId)).foreach { case (t0, desc) =>
+            System.err.println(
+              f"[joblog] job=${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2fs  $desc")
+          }
+        }
+      })
+    }
     // warm-up (JIT/codegen) — in chunk mode the phase timer starts
     // after this, so chunked and unchunked elapsed are comparable
     FrontierBench.run(spark, seeds = 20000)

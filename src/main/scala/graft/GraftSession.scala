@@ -37,6 +37,10 @@ object GraftSession {
       // stage onto one task no matter how many cores the session has.
       // On a cluster the same inputs span many HDFS/S3 blocks natively.
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // list medium dirs on the driver: the default threshold (32
+      // paths) turns every read of a 33+-file state dir into a
+      // distributed listing JOB — pure overhead for local/hdfs metadata
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       // bench-only: commit renames inside tasks (v2), not serially on
       // the driver after every write job — the checkpoint-per-wave
       // layout writes often, and a driver-side O(files) commit is a

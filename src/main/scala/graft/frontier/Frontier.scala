@@ -892,10 +892,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // the first fence — since this window must sort the head anyway,
     // the cut costs no extra shuffle, ever.
     val w = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
+    // row_number and lead share ONE Window pass (same partitioning +
+    // ordering): has_next at the rank-M row tells whether the host's
+    // queue overflows M without a second count-over-partition pass
     val ranked = withKeff(head)
       .join(fencePrev.select(col("host"), col("fp"), col("fs")), Seq("host"), "left")
       .withColumn("rank_in_host", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("host"))))
+      .withColumn("has_next", lead(col("surt_key"), 1).over(w).isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scheduled = ranked.filter(col("rank_in_host") <= col("k_eff"))
       .withColumn("wave", lit(wave))
@@ -1039,7 +1042,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       .select(pcols.map(col): _*)
     // first-spill fences: one row per overflowing never-spilled host
     val schedFence = ranked.filter(col("fp").isNull &&
-        col("rank_in_host") === M && col("cnt") > M)
+        col("rank_in_host") === M && col("has_next"))
       .select(col("host"), col("priority").as("nfp"), col("surt_key").as("nfs"))
 
     // 2. fresh routing against the POST-CUT fence view
@@ -1056,15 +1059,29 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val freshHead = fj.filter(!aboveFence).select(pcols.map(col): _*)
     val freshSpill = fj.filter(aboveFence).select(pcols.map(col): _*)
 
-    // 3. two state writes: shuffle-free head, bucketed spill delta
-    keepHead.unionByName(freshHead)
-      .write.mode("overwrite").parquet(headDir(wave))
-    sub("head write (no shuffle)")
-    schedSpill.unionByName(freshSpill)
-      .withColumn("bucket", bucketCol)
-      .repartition(col("bucket")) // one file per bucket
-      .write.partitionBy("bucket").mode("overwrite").parquet(spillDir(wave))
-    sub("spill write")
+    // 3. two state writes — INDEPENDENT jobs over cached inputs,
+    // submitted concurrently: shuffle-free head, bucketed spill delta
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = Frontier.stateWriteEc
+      val fHead = Future {
+        // narrow coalesce: the union doubles partition count; halve it
+        // back so the head dir keeps ~one file per core
+        keepHead.unionByName(freshHead)
+          .coalesce(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(headDir(wave))
+      }
+      val fSpill = Future {
+        schedSpill.unionByName(freshSpill)
+          .withColumn("bucket", bucketCol)
+          .repartition(col("bucket")) // one file per bucket
+          .write.partitionBy("bucket").mode("overwrite").parquet(spillDir(wave))
+      }
+      Await.result(fHead, Duration.Inf)
+      Await.result(fSpill, Duration.Inf)
+    }
+    sub("head+spill writes (concurrent)")
 
     // fence accounting from the written state + the in-memory fence sets
     val spilledCounts = readDest(spillDir(wave))
@@ -1076,6 +1093,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       .join(spilledCounts, Seq("host"), "full_outer")
       .select(col("host"), col("fp"), col("fs"),
         (coalesce(col("bn"), lit(0L)) + coalesce(col("spilled"), lit(0L))).as("bn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4. refill: needy = live backlog and head below the politeness budget
     val needy = fence2
@@ -1132,6 +1150,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     fenceFinal.select("host", "fp", "fs", "bn")
       .write.mode("overwrite").parquet(dir("fence", s"wave=$wave"))
     sub("fence write")
+    fence2.unpersist(blocking = false)
     needy.unpersist(blocking = false)
     rlOpt.foreach(_.unpersist(blocking = false))
   }
