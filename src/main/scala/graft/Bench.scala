@@ -66,6 +66,34 @@ final case class FrontierBenchResult(scheduled: Long, deduped: Long, elapsedSec:
 }
 
 object FrontierBench {
+
+  /** DEEP-FRONTIER leg: a politeness-bound crawl where pending ≫ the
+    * per-wave schedule (seeds/10k hosts × 10k urls each, budget 50) —
+    * the shape a broad crawl reaches after a few waves, and the one
+    * the queue-head scheduler exists for: a wave must not window,
+    * anti-join or rewrite the deep backlog. Reports seconds per
+    * steady-state wave (waves 2-4; wave 1 pays the one-time lazy cut
+    * of the seed queue). */
+  def runDeep(spark: SparkSession, seeds: Int): (Double, Long) = {
+    val ck = Scratch.dir("frontier-deep")
+    try {
+      val hosts = math.max(20, seeds / 10000)
+      val cfg = graft.frontier.FrontierConfig(
+        checkpointDir = ck.toString, hostBudget = 50, seenShards = 64,
+        outlinksPerUrl = 2, hostPool = hosts, fastMode = true)
+      val f = new graft.frontier.Frontier(spark, cfg)
+      val seedDf = graft.frontier.Frontier
+        .syntheticSeeds(spark, seeds, hostPool = hosts)
+        .repartition(spark.sparkContext.defaultParallelism)
+      f.initialize(seedDf)
+      f.runWave() // wave 1: one-time cut of the full seed queue
+      val t0 = System.nanoTime()
+      val rs = (2 to 4).map(_ => f.runWave())
+      val perWave = (System.nanoTime() - t0) / 1e9 / 3.0
+      (perWave, rs.map(_.scheduled).sum)
+    } finally Scratch.delete(ck)
+  }
+
   /** Initialize + two waves over `seeds` synthetic URLs; throughput =
     * (scheduled + deduped) / elapsed across the waves. The synthetic
     * host pool grows with the corpus (real crawls discover more hosts
@@ -148,6 +176,15 @@ object ScalingBench {
               f"[joblog] job=${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2fs  $desc")
           }
         }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val secs = (for (a <- si.completionTime; b <- si.submissionTime) yield (a - b) / 1e3)
+            .getOrElse(-1.0)
+          if (secs > 1.0)
+            System.err.println(f"[stagelog] stage=${si.stageId}%4d $secs%6.2fs " +
+              f"tasks=${si.numTasks} ${si.name.take(120)}")
+        }
       })
     }
     // warm-up (JIT/codegen) — in chunk mode the phase timer starts
@@ -170,6 +207,15 @@ object ScalingBench {
     }
     val par = execs.getOrElse(cores)
     val mode = if (execs.isDefined) "executors" else "threads"
+    if (args.lift(2).contains("deep")) {
+      val (perWave, sched) = FrontierBench.runDeep(spark, seeds)
+      val line =
+        f"""{"metric":"deep_frontier_wave","unit":"sec/wave","mode":"$mode","cores":$par,"pending":$seeds,"sec_per_wave":$perWave%.2f,"scheduled":$sched,"calib_ms":$calibMs%.0f}"""
+      println(line)
+      BenchOut.write("scalingbench.json", line, append = true)
+      spark.stop()
+      return
+    }
     (args.lift(2), args.lift(3)) match {
       case (Some(ck), phaseOpt @ Some(_)) =>
         // CHUNKED mode for inputs too large for one sandbox invocation:

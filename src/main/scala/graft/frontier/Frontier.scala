@@ -322,6 +322,11 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     require(fs.rename(tmp, dst), s"marker publish failed: $dst")
   }
 
+  private def markerExists(name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(cfg.checkpointDir, name)
+    Frontier.rawFs(p, spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   private def deleteMarker(name: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(cfg.checkpointDir, name)
     try { Frontier.rawFs(p, spark.sessionState.newHadoopConf()).delete(p, false); () }
@@ -579,6 +584,22 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   private def bucketCol: org.apache.spark.sql.Column =
     pmod(hash(col("host")), lit(cfg.backlogBuckets))
 
+  /** Priority band: monotone in priority (band 0 = best), clamped.
+    * Refills read band 0 first and provably stop there when every
+    * taken row's priority stays inside it — O(taken)-ish reads instead
+    * of re-scanning a host's whole deep queue on every refill. Band
+    * and bucket are FOLDED into one partition value `bkb = bucket*16 +
+    * band` (dir `bkb=<v>`): a single partition column keeps the
+    * dynamic-partition writer on its fast path while preserving both
+    * prunings. */
+  private val BandWidth = 8
+  private val MaxBand = 15
+  private def bandCol: org.apache.spark.sql.Column =
+    least(lit(MaxBand), greatest(lit(0),
+      (col("priority") / lit(BandWidth)).cast("int")))
+  private def bkbCol: org.apache.spark.sql.Column =
+    bucketCol * lit(MaxBand + 1) + bandCol
+
   /** One maintenance dir per wave, ONE write job per wave: rows land
     * under `maint/wave=N/dest={head,spill,fence}/bucket=<b>` from a
     * single routed frame — the wave's whole head/spill/fence decision
@@ -656,7 +677,8 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     if (dirs.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PendingSchema)
-    val raw = spark.read.schema(PendingSchema).parquet(dirs: _*)
+    val raw = spark.read.schema(PendingSchema)
+      .option("recursiveFileLookup", "true").parquet(dirs: _*)
       .select("surt_key", "canonical_url", "host", "priority")
     raw.join(fence.select(col("host"), col("fp"), col("fs")), Seq("host"), "inner")
       .filter(col("fp").isNotNull &&
@@ -665,10 +687,12 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       .select("surt_key", "canonical_url", "host", "priority")
   }
 
-  /** The bucket=<b> subdirectories of the readable backlog dirs whose
-    * bucket id is in `buckets` and which physically exist — the
-    * directory-pruned refill read set. */
-  private def backlogBucketDirs(wave: Int, buckets: Set[Int]): Seq[String] = {
+  /** The bkb=<bucket*16+band> subdirectories of the readable backlog
+    * dirs whose logical bucket is in `buckets` and which physically
+    * exist — the directory-pruned refill read set. `bandZeroOnly`
+    * keeps only band-0 dirs. */
+  private def backlogBucketDirs(wave: Int, buckets: Set[Int],
+                                bandZeroOnly: Boolean = false): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     backlogDirs(wave).flatMap { d =>
       val p = new org.apache.hadoop.fs.Path(d)
@@ -676,8 +700,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
-        n.stripPrefix("bucket=").toIntOption match {
-          case Some(b) if n.startsWith("bucket=") && buckets.contains(b) =>
+        n.stripPrefix("bkb=").toIntOption match {
+          case Some(v) if n.startsWith("bkb=") &&
+              buckets.contains(v / (MaxBand + 1)) &&
+              (!bandZeroOnly || v % (MaxBand + 1) == 0) =>
             Some(st.getPath.toString)
           case _ => None
         }
@@ -699,9 +725,9 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val prevBase = latestBacklogBase(upTo)
     val live = backlogLive(upTo, fenceDf(upTo))
     live.select(col("surt_key"), col("canonical_url"), col("host"), col("priority"),
-        bucketCol.as("bucket"))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite")
+        bkbCol.as("bkb"))
+      .repartition(col("bkb"))
+      .write.partitionBy("bkb").mode("overwrite")
       .parquet(dir("backlog_base", s"upto=$upTo"))
     publishMarker(s"BACKLOG_BASE-$upTo.json", s"""{"upto":$upTo}""")
     val conf = spark.sessionState.newHadoopConf()
@@ -745,8 +771,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         }
       } catch { case _: Exception => Nil }
     }
-    for ((w, p) <- waveDirs("fence") if w <= wave - 2)
+    for ((w, p) <- waveDirs("fence") if w <= wave - 2) {
       try { p.getFileSystem(conf).delete(p, true); () } catch { case _: Exception => }
+      deleteMarker(s"FENCES-$w.m")
+    }
     for ((w, p) <- waveDirs("maint") if w <= wave - 2) {
       val fs = p.getFileSystem(conf)
       for (sub <- Seq("dest=head", "dest=fence", "_SUCCESS"))
@@ -892,11 +920,22 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // the first fence — since this window must sort the head anyway,
     // the cut costs no extra shuffle, ever.
     val w = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
+    // FENCE-FREE FAST PATH: the previous wave records whether ANY host
+    // has a fence (a tiny disk marker — no job). Most crawls' early
+    // waves (and wide-shallow crawls forever) have none, and then the
+    // fence join, the needy probe and the fencePrev reads all vanish.
+    val hasFences = markerExists(s"FENCES-$prev.m")
     // row_number and lead share ONE Window pass (same partitioning +
     // ordering): has_next at the rank-M row tells whether the host's
     // queue overflows M without a second count-over-partition pass
-    val ranked = withKeff(head)
-      .join(fencePrev.select(col("host"), col("fp"), col("fs")), Seq("host"), "left")
+    val withFence =
+      if (hasFences)
+        withKeff(head).join(fencePrev.select(col("host"), col("fp"), col("fs")),
+          Seq("host"), "left")
+      else withKeff(head)
+        .withColumn("fp", lit(null).cast("int"))
+        .withColumn("fs", lit(null).cast("string"))
+    val ranked = withFence
       .withColumn("rank_in_host", row_number().over(w))
       .withColumn("has_next", lead(col("surt_key"), 1).over(w).isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -943,16 +982,22 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     implicit val ec: scala.concurrent.ExecutionContext =
       Frontier.stateWriteEc
     val fSeen = Future {
+      val t = System.nanoTime()
       // seen DELTA: persist only this wave's fresh keys (O(fresh) write)
       fresh.select("surt_key").write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
+      if (debug) System.err.println(
+        f"[frontier]     fSeen: ${(System.nanoTime() - t) / 1e9}%.2fs")
     }
     val fShards = Future {
+      val t = System.nanoTime()
       // incremental shard maintenance: insert only this wave's fresh keys
       val updatedShards = updateShardFiles(prevIdx, fresh.select("surt_key"), wave)
       writeIndex(wave, prevIdx ++ updatedShards)
+      if (debug) System.err.println(
+        f"[frontier]     fShards: ${(System.nanoTime() - t) / 1e9}%.2fs")
       updatedShards
     }
-    val fState = Future { maintainFrontier(ranked, fencePrev, fresh, wave) }
+    val fState = Future { maintainFrontier(ranked, fencePrev, fresh, wave, hasFences, nFresh) }
     Await.result(fSeen, Duration.Inf)
     Await.result(fShards, Duration.Inf)
     Await.result(fState, Duration.Inf)
@@ -1015,7 +1060,8 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     *     copies left behind become invisible to every later read).
     */
   private def maintainFrontier(ranked: DataFrame, fencePrev: DataFrame,
-                               fresh: DataFrame, wave: Int): Unit = {
+                               fresh: DataFrame, wave: Int,
+                               hasFences: Boolean, nFresh: Long): Unit = {
     import spark.implicits._
     val debug = sys.env.get("GRAFT_DEBUG").contains("1")
     var tSub = System.nanoTime()
@@ -1045,12 +1091,16 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         col("rank_in_host") === M && col("has_next"))
       .select(col("host"), col("priority").as("nfp"), col("surt_key").as("nfs"))
 
-    // 2. fresh routing against the POST-CUT fence view
-    val fenceRoute = fencePrev.select(col("host"), col("fp"), col("fs"))
-      .join(schedFence, Seq("host"), "full_outer")
-      .select(col("host"),
-        coalesce(col("nfp"), col("fp")).as("fp"),
-        coalesce(col("nfs"), col("fs")).as("fs"))
+    // 2. fresh routing against the POST-CUT fence view (when no fences
+    // existed before, the route table is just this wave's fence sets)
+    val fenceRoute =
+      if (hasFences)
+        fencePrev.select(col("host"), col("fp"), col("fs"))
+          .join(schedFence, Seq("host"), "full_outer")
+          .select(col("host"),
+            coalesce(col("nfp"), col("fp")).as("fp"),
+            coalesce(col("nfs"), col("fs")).as("fs"))
+      else schedFence.select(col("host"), col("nfp").as("fp"), col("nfs").as("fs"))
     val freshAllowed = applyRobots(fresh.select(pcols.map(col): _*))
     val fj = freshAllowed.join(fenceRoute, Seq("host"), "left")
     val aboveFence = col("fp").isNotNull &&
@@ -1066,17 +1116,32 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext = Frontier.stateWriteEc
       val fHead = Future {
+        val t = System.nanoTime()
         // narrow coalesce: the union doubles partition count; halve it
         // back so the head dir keeps ~one file per core
         keepHead.unionByName(freshHead)
           .coalesce(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(headDir(wave))
+        if (debug) System.err.println(
+          f"[frontier]     fHead: ${(System.nanoTime() - t) / 1e9}%.2fs")
       }
       val fSpill = Future {
+        val t = System.nanoTime()
+        // banded like the compacted base — but ONLY when this wave's
+        // spill is big enough for bands to carry real mass: every
+        // (bucket, band) dir costs a fixed create+commit, so a small
+        // delta collapses into band 0, which phase-A refills always
+        // read anyway (a superset read never breaks the settled test —
+        // unread rows still live strictly above band 0). The big
+        // deltas (a seed-queue cut) and every compacted base stay
+        // fully banded.
+        val bandIt = nFresh > 100L * cfg.backlogBuckets * (MaxBand + 1)
         schedSpill.unionByName(freshSpill)
-          .withColumn("bucket", bucketCol)
-          .repartition(col("bucket")) // one file per bucket
-          .write.partitionBy("bucket").mode("overwrite").parquet(spillDir(wave))
+          .withColumn("bkb", if (bandIt) bkbCol else bucketCol * lit(MaxBand + 1))
+          .repartition(col("bkb")) // one file per (bucket, band) dir
+          .write.partitionBy("bkb").mode("overwrite").parquet(spillDir(wave))
+        if (debug) System.err.println(
+          f"[frontier]     fSpill: ${(System.nanoTime() - t) / 1e9}%.2fs")
       }
       Await.result(fHead, Duration.Inf)
       Await.result(fSpill, Duration.Inf)
@@ -1088,8 +1153,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       .groupBy("host").agg(count(lit(1)).as("spilled"))
     val headCounts = readDest(headDir(wave))
       .groupBy("host").agg(count(lit(1)).as("hc"))
-    val fence2 = fenceRoute
-      .join(fencePrev.select(col("host"), col("bn")), Seq("host"), "left")
+    val fence2Base =
+      if (hasFences) fenceRoute.join(fencePrev.select(col("host"), col("bn")), Seq("host"), "left")
+      else fenceRoute.withColumn("bn", lit(0L))
+    val fence2 = fence2Base
       .join(spilledCounts, Seq("host"), "full_outer")
       .select(col("host"), col("fp"), col("fs"),
         (coalesce(col("bn"), lit(0L)) + coalesce(col("spilled"), lit(0L))).as("bn"))
@@ -1105,54 +1172,129 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       .withColumn("bucket", bucketCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rlOpt: Option[DataFrame] = None
-    val needyEmpty = needy.isEmpty
+    var rlBOpt: Option[DataFrame] = None
+    var settledOpt: Option[DataFrame] = None
+    var needyBOpt: Option[DataFrame] = None
+    // provably-empty shortcut: with no pre-existing fences, only hosts
+    // that spilled THIS wave have bn > 0, and such a host kept ranks
+    // (k_eff, M] in its head — at least M − hostBudget ≥ hostBudget
+    // rows when headMult ≥ 2 — so it cannot be needy. Skips the probe
+    // job on every fence-free wave.
+    val needyEmpty =
+      if (!hasFences && cfg.headMult >= 2) true
+      else needy.isEmpty
     sub("fence2+needy")
     val fenceFinal =
       if (needyEmpty) fence2
       else {
+        // TWO-PHASE BANDED REFILL. Phase A reads the needy buckets'
+        // spill DELTAS (recent, small, unbanded) plus only the BAND-0
+        // slice of the compacted base. A host is settled by phase A
+        // when it yields its full deficit AND the worst taken row's
+        // priority stays strictly inside band 0 — every unread base
+        // row then has a strictly higher priority, so the taken set
+        // provably equals the global per-host top-deficit. Hosts that
+        // fail the test re-read all bands (phase B) — rare, and cheap
+        // exactly when the queue is shallow. Net effect: a refill
+        // costs O(taken + band-0 slice), not a rescan of the host's
+        // whole deep queue.
         val buckets = needy.select("bucket").distinct().as[Int].collect().toSet
-        val dirs = backlogBucketDirs(wave, buckets)
-        val raw =
-          if (dirs.isEmpty) emptyPending
-          else spark.read.schema(PendingSchema).parquet(dirs: _*)
-        val live = raw
-          .join(needy.select(col("host"), col("fp"), col("fs"), col("deficit")),
-            Seq("host"), "inner")
-          .filter(aboveFence) // strictly above: stale refilled copies drop out
-        val rl = live.withColumn("rk", row_number().over(wHost))
+        def liveRanked(dirs: Seq[String], who: DataFrame): DataFrame = {
+          val raw =
+            if (dirs.isEmpty) emptyPending
+            else spark.read.schema(PendingSchema)
+              .option("recursiveFileLookup", "true").parquet(dirs: _*)
+          raw.join(who.select(col("host"), col("fp"), col("fs"), col("deficit")),
+              Seq("host"), "inner")
+            .filter(aboveFence) // strictly above: stale refill copies drop out
+            .withColumn("rk", row_number().over(wHost))
+        }
+        val rlA = liveRanked(backlogBucketDirs(wave, buckets, bandZeroOnly = true), needy)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rlOpt = Some(rl)
+        rlOpt = Some(rlA)
+        // per-host phase-A outcome: settled iff deficit met inside band 0
+        val aAgg = rlA.groupBy("host").agg(
+          sum(when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("takenA"),
+          max(when(col("rk") <= col("deficit"), col("priority"))).as("worstA"))
+        val settled = needy.join(aAgg, Seq("host"), "left")
+          .select(col("host"), col("deficit"),
+            (coalesce(col("takenA"), lit(0L)) === col("deficit") &&
+              col("worstA") < BandWidth).as("ok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        settledOpt = Some(settled)
+        val needyB = needy.join(settled.filter(!col("ok")).select("host"), Seq("host"), "inner")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        needyBOpt = Some(needyB)
+        val anyB = !needyB.isEmpty
+        val takenARows = rlA
+          .join(settled.filter(col("ok")).select("host"), Seq("host"), "inner")
+          .filter(col("rk") <= col("deficit"))
+          .select(pcols.map(col): _*)
+        val (takenBRows, bAgg) =
+          if (!anyB) (emptyPending, None)
+          else {
+            val bBuckets = needyB.select("bucket").distinct().as[Int].collect().toSet
+            val rlB = liveRanked(backlogBucketDirs(wave, bBuckets), needyB)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            rlBOpt = Some(rlB)
+            val agg = rlB.groupBy("host").agg(
+              count(lit(1)).as("liveCnt"),
+              sum(when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("takenCnt"),
+              max(when(col("rk") <= col("deficit"),
+                struct(col("priority").as("p"), col("surt_key").as("s")))).as("mx"))
+            (rlB.filter(col("rk") <= col("deficit")).select(pcols.map(col): _*), Some(agg))
+          }
         // refilled rows APPEND to the head partition (this wave's dir
         // was cleared above, so only this run's files exist)
-        rl.filter(col("rk") <= col("deficit"))
-          .select(pcols.map(col): _*)
+        takenARows.unionByName(takenBRows)
           .write.mode("overwrite").parquet(headDir(wave) + "/refill")
-        val refillAgg = rl.groupBy("host").agg(
-          count(lit(1)).as("liveCnt"),
-          sum(when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("takenCnt"),
-          max(when(col("rk") <= col("deficit"),
-            struct(col("priority").as("p"), col("surt_key").as("s")))).as("mx"))
-        val adj = needy.select(col("host"), lit(true).as("isNeedy"))
-          .join(refillAgg, Seq("host"), "left")
-        fence2.join(adj, Seq("host"), "left")
+        // fence/bn updates: settled hosts advance arithmetically (bn
+        // was exact, deficit rows left); phase-B hosts resync from the
+        // rows actually read — exact even if a compaction physically
+        // dropped dead rows
+        val aFence = rlA
+          .join(settled.filter(col("ok")).select("host"), Seq("host"), "inner")
+          .filter(col("rk") <= col("deficit"))
+          .groupBy("host").agg(
+            count(lit(1)).as("takenCntA"),
+            max(struct(col("priority").as("p"), col("surt_key").as("s"))).as("mxA"))
+        val withA = fence2.join(aFence, Seq("host"), "left")
           .select(col("host"),
-            when(col("takenCnt").isNotNull && col("takenCnt") > 0, col("mx.p"))
-              .otherwise(col("fp")).as("fp"),
-            when(col("takenCnt").isNotNull && col("takenCnt") > 0, col("mx.s"))
-              .otherwise(col("fs")).as("fs"),
-            // needy hosts resync bn from the rows actually read — exact
-            // even if a compaction physically dropped dead rows
-            when(col("isNeedy"),
-              coalesce(col("liveCnt"), lit(0L)) - coalesce(col("takenCnt"), lit(0L)))
+            when(col("takenCntA").isNotNull, col("mxA.p")).otherwise(col("fp")).as("fp"),
+            when(col("takenCntA").isNotNull, col("mxA.s")).otherwise(col("fs")).as("fs"),
+            when(col("takenCntA").isNotNull, col("bn") - col("takenCntA"))
               .otherwise(col("bn")).as("bn"))
+        bAgg match {
+          case None => withA
+          case Some(agg) =>
+            val adj = needyB.select(col("host"), lit(true).as("isNeedy"))
+              .join(agg, Seq("host"), "left")
+            withA.join(adj, Seq("host"), "left")
+              .select(col("host"),
+                when(col("takenCnt").isNotNull && col("takenCnt") > 0, col("mx.p"))
+                  .otherwise(col("fp")).as("fp"),
+                when(col("takenCnt").isNotNull && col("takenCnt") > 0, col("mx.s"))
+                  .otherwise(col("fs")).as("fs"),
+                when(col("isNeedy"),
+                  coalesce(col("liveCnt"), lit(0L)) - coalesce(col("takenCnt"), lit(0L)))
+                  .otherwise(col("bn")).as("bn"))
+        }
       }
     sub("refill")
+    val fenceObs = org.apache.spark.sql.Observation()
     fenceFinal.select("host", "fp", "fs", "bn")
+      .observe(fenceObs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(dir("fence", s"wave=$wave"))
+    deleteMarker(s"FENCES-$wave.m")
+    if (fenceObs.get("n").asInstanceOf[Long] > 0L)
+      publishMarker(s"FENCES-$wave.m", "{}")
     sub("fence write")
     fence2.unpersist(blocking = false)
     needy.unpersist(blocking = false)
     rlOpt.foreach(_.unpersist(blocking = false))
+    rlBOpt.foreach(_.unpersist(blocking = false))
+    settledOpt.foreach(_.unpersist(blocking = false))
+    needyBOpt.foreach(_.unpersist(blocking = false))
   }
 
   /** Seen-membership probe: the fresh (never-seen) subset of `urls`
@@ -1195,7 +1337,7 @@ object Frontier {
     * job completion). */
   private[frontier] lazy val stateWriteEc: scala.concurrent.ExecutionContextExecutorService =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
         val t = new Thread(r, "frontier-state-write")
         t.setDaemon(true)
         t
