@@ -1135,7 +1135,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         // unread rows still live strictly above band 0). The big
         // deltas (a seed-queue cut) and every compacted base stay
         // fully banded.
-        val bandIt = nFresh > 100L * cfg.backlogBuckets * (MaxBand + 1)
+        val bandIt = nFresh > 5000L * cfg.backlogBuckets * (MaxBand + 1)
         schedSpill.unionByName(freshSpill)
           .withColumn("bkb", if (bandIt) bkbCol else bucketCol * lit(MaxBand + 1))
           .repartition(col("bkb")) // one file per (bucket, band) dir
