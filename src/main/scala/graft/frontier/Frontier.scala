@@ -287,6 +287,26 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         st.getPath.getName.startsWith("wave=")))
   }
 
+  /** Reclaim base dirs whose publish marker never landed (a crash
+    * between the O(state)-sized base write and the marker): readers
+    * already ignore them, but nothing else ever deletes them — each
+    * crash would otherwise strand a full state-sized directory
+    * forever. Runs at the next compaction of the same kind. */
+  private def sweepOrphanBases(baseDir: String, markerPrefix: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(cfg.checkpointDir, baseDir)
+    try {
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return
+      fs.listStatus(root).foreach { st =>
+        st.getPath.getName.stripPrefix("upto=").toIntOption.foreach { u =>
+          if (!markerExists(s"$markerPrefix$u.json"))
+            try { fs.delete(st.getPath, true); () } catch { case _: Exception => }
+        }
+      }
+    } catch { case _: Exception => }
+  }
+
   /** Largest published compaction base ≤ wave, if any. */
   private def latestSeenBase(wave: Int): Option[Int] = {
     val re = "SEEN_BASE-(\\d+)\\.json".r
@@ -347,6 +367,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     require(upTo <= latestCommittedWave(), s"wave $upTo not committed yet")
     val prevBase = latestSeenBase(upTo)
     if (prevBase.contains(upTo)) return // already compacted to here
+    sweepOrphanBases("seen_base", "SEEN_BASE-")
     seenUpTo(upTo).write.mode("overwrite").parquet(dir("seen_base", s"upto=$upTo"))
     publishMarker(s"SEEN_BASE-$upTo.json", s"""{"upto":$upTo}""")
     // GC (failures harmless; read path already ignores all of these)
@@ -479,15 +500,17 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val markerP = new org.apache.hadoop.fs.Path(cfg.checkpointDir, markerName)
     val fs = Frontier.rawFs(markerP, spark.sessionState.newHadoopConf())
     if (!fs.exists(markerP)) {
-      Robots.hostRules(r, cfg.agent)
-        .write.mode("overwrite").parquet(dir("robots_parsed", "rules"))
-      Robots.crawlDelays(r, cfg.agent)
-        .write.mode("overwrite").parquet(dir("robots_parsed", "delays"))
-      // retire markers of superseded robots versions, then publish
+      // retire superseded markers BEFORE touching the shared parquet:
+      // a crash mid-overwrite must never leave an old marker
+      // validating new or partially-written rule data
       try fs.listStatus(new org.apache.hadoop.fs.Path(cfg.checkpointDir))
         .filter(_.getPath.getName.startsWith("ROBOTS_PARSED-"))
         .foreach(st => fs.delete(st.getPath, false))
       catch { case _: Exception => }
+      Robots.hostRules(r, cfg.agent)
+        .write.mode("overwrite").parquet(dir("robots_parsed", "rules"))
+      Robots.crawlDelays(r, cfg.agent)
+        .write.mode("overwrite").parquet(dir("robots_parsed", "delays"))
       publishMarker(markerName, s"""{"fingerprint":"$fp"}""")
     }
     // explicit schemas: an all-allowed crawl yields an EMPTY delays
@@ -600,13 +623,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   private def bkbCol: org.apache.spark.sql.Column =
     bucketCol * lit(MaxBand + 1) + bandCol
 
-  /** One maintenance dir per wave, ONE write job per wave: rows land
-    * under `maint/wave=N/dest={head,spill,fence}/bucket=<b>` from a
-    * single routed frame — the wave's whole head/spill/fence decision
-    * is one partitioned write instead of a chain of per-sink jobs, and
-    * the small per-host aggregates (head counts, spill counts, fence
-    * sets) come back as cheap columnar reads of what was just
-    * written. */
+  /** One maintenance dir per wave holding the wave's state
+    * partitions: `dest=head` (flat files + an optional `refill`
+    * subdir) and `dest=spill/bkb=<bucket*16+band>` (the backlog
+    * delta), written as two concurrent jobs; per-host head/spill
+    * counts come back as cheap columnar reads of what was written.
+    * (The per-host fence table lives separately under
+    * `fence/wave=N`.) */
   private def maintDir(wave: Int): String = dir("maint", s"wave=$wave")
   private def headDir(wave: Int): String = maintDir(wave) + "/dest=head"
   private def spillDir(wave: Int): String = maintDir(wave) + "/dest=spill"
@@ -722,6 +745,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     require(upTo <= latestCommittedWave(), s"wave $upTo not committed yet")
     if (latestBacklogBase(upTo).contains(upTo)) return
     if (backlogDirs(upTo).isEmpty) return
+    sweepOrphanBases("backlog_base", "BACKLOG_BASE-")
     val prevBase = latestBacklogBase(upTo)
     val live = backlogLive(upTo, fenceDf(upTo))
     live.select(col("surt_key"), col("canonical_url"), col("host"), col("priority"),
@@ -777,7 +801,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     }
     for ((w, p) <- waveDirs("maint") if w <= wave - 2) {
       val fs = p.getFileSystem(conf)
-      for (sub <- Seq("dest=head", "dest=fence", "_SUCCESS"))
+      for (sub <- Seq("dest=head", "_SUCCESS"))
         try { fs.delete(new org.apache.hadoop.fs.Path(p, sub), true); () }
         catch { case _: Exception => }
       // reclaim the wave dir once the spill partition is also gone
@@ -867,13 +891,15 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val fShards = Future {
       writeIndex(0, updateShardFiles(Map.empty, canon.select("surt_key"), 0))
     }
+    val headObs = org.apache.spark.sql.Observation()
     val fState = Future {
       // LAZY head split: the ENTIRE allowed seed set becomes the head
       // — no window, no shuffle, a straight filtered write. Wave 1's
       // schedule window (which must sort the head anyway) performs the
       // per-host top-M cut and sets the first fences; init itself is
       // O(seeds) I/O with zero exchanges.
-      applyRobots(canon).write.mode("overwrite").parquet(headDir(0))
+      applyRobots(canon).observe(headObs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(headDir(0))
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FenceSchema)
         .write.mode("overwrite").parquet(dir("fence", "wave=0"))
@@ -884,7 +910,11 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     canon.unpersist(blocking = false)
     phase("seen+shards+head/backlog split (concurrent)")
     val n = obs.get("n").asInstanceOf[Long]
-    val res = WaveResult(0, n, n, n, n, 0, n, n, (System.nanoTime() - t0) / 1e9)
+    // allowed/pending reflect the robots-gated head actually written;
+    // candidates/deduped/seen reflect pre-gate admission (seen parity)
+    val nAllowed = headObs.get("n").asInstanceOf[Long]
+    val res = WaveResult(0, n, n, n, nAllowed, 0, n, nAllowed,
+      (System.nanoTime() - t0) / 1e9)
     commit(0, res)
     res
   }
@@ -925,20 +955,52 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // waves (and wide-shallow crawls forever) have none, and then the
     // fence join, the needy probe and the fencePrev reads all vanish.
     val hasFences = markerExists(s"FENCES-$prev.m")
-    // row_number and lead share ONE Window pass (same partitioning +
-    // ordering): has_next at the rank-M row tells whether the host's
-    // queue overflows M without a second count-over-partition pass
-    val withFence =
-      if (hasFences)
-        withKeff(head).join(fencePrev.select(col("host"), col("fp"), col("fs")),
-          Seq("host"), "left")
-      else withKeff(head)
-        .withColumn("fp", lit(null).cast("int"))
-        .withColumn("fs", lit(null).cast("string"))
-    val ranked = withFence
-      .withColumn("rank_in_host", row_number().over(w))
-      .withColumn("has_next", lead(col("surt_key"), 1).over(w).isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val M = headM
+    var extraPersists: List[DataFrame] = Nil
+    val (ranked, saltDropped) =
+      if (hasFences) {
+        // fenced steady state: heads are already cut to ~M per host —
+        // a plain window suffices. row_number and lead share ONE
+        // Window pass (same partitioning + ordering): has_next at the
+        // rank-M row tells whether the host's queue overflows M
+        // without a second count-over-partition pass.
+        val r = withKeff(head)
+          .join(fencePrev.select(col("host"), col("fp"), col("fs")), Seq("host"), "left")
+          .withColumn("rank_in_host", row_number().over(w))
+          .withColumn("has_next", lead(col("surt_key"), 1).over(w).isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (r, None)
+      } else {
+        // fence-free waves hold UNCUT queues (the whole seed list
+        // after init; a new hot host's first wave): the schedule/cut
+        // window gets the SALTED pre-phase so one Zipf-head host
+        // cannot serialize a reducer — phase 1 keeps per-(host, salt)
+        // top-M (a superset of the true top-M; rows it drops have ≥ M
+        // better rows in their own salt group, hence are outside the
+        // global top-M and spill directly — exact), phase 2 ranks the
+        // ≤ salt×M survivors per host. has_next = "host total exceeds
+        // this rank" comes from a per-host count join (survivor-local
+        // lead() cannot see salt-dropped rows — a fence must be set
+        // whenever ANYTHING spilled).
+        val base = withKeff(head)
+          .withColumn("fp", lit(null).cast("int"))
+          .withColumn("fs", lit(null).cast("string"))
+        val wSalt = Window
+          .partitionBy(col("host"), pmod(hash(col("surt_key")), lit(cfg.salt)))
+          .orderBy(col("priority"), col("surt_key"))
+        val p1 = base.withColumn("rn1", row_number().over(wSalt))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        extraPersists ::= p1
+        val cnts = base.groupBy("host").agg(count(lit(1)).as("cnt"))
+        val r = p1.filter(col("rn1") <= M).drop("rn1")
+          .withColumn("rank_in_host", row_number().over(w))
+          .join(cnts, Seq("host"))
+          .withColumn("has_next", col("cnt") > col("rank_in_host"))
+          .drop("cnt")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (r, Some(p1.filter(col("rn1") > M)
+          .select("surt_key", "canonical_url", "host", "priority")))
+      }
     val scheduled = ranked.filter(col("rank_in_host") <= col("k_eff"))
       .withColumn("wave", lit(wave))
       .select("host", "surt_key", "canonical_url", "priority", "rank_in_host", "wave")
@@ -997,12 +1059,15 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         f"[frontier]     fShards: ${(System.nanoTime() - t) / 1e9}%.2fs")
       updatedShards
     }
-    val fState = Future { maintainFrontier(ranked, fencePrev, fresh, wave, hasFences, nFresh) }
+    val fState = Future {
+      maintainFrontier(ranked, fencePrev, fresh, wave, hasFences, nFresh, saltDropped)
+    }
     Await.result(fSeen, Duration.Inf)
     Await.result(fShards, Duration.Inf)
     Await.result(fState, Duration.Inf)
     fresh.unpersist(blocking = false)
     ranked.unpersist(blocking = false)
+    extraPersists.foreach(_.unpersist(blocking = false))
     phase("state writes (head/fence/backlog+seen+shards, concurrent)")
 
     // scheduled count came from the write job's Observation; state-size
@@ -1061,7 +1126,8 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     */
   private def maintainFrontier(ranked: DataFrame, fencePrev: DataFrame,
                                fresh: DataFrame, wave: Int,
-                               hasFences: Boolean, nFresh: Long): Unit = {
+                               hasFences: Boolean, nFresh: Long,
+                               saltDropped: Option[DataFrame]): Unit = {
     import spark.implicits._
     val debug = sys.env.get("GRAFT_DEBUG").contains("1")
     var tSub = System.nanoTime()
@@ -1086,6 +1152,8 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       .select(pcols.map(col): _*)
     val schedSpill = ranked.filter(col("fp").isNull && col("rank_in_host") > M)
       .select(pcols.map(col): _*)
+      // phase-1 salt drops are provably outside the per-host top-M
+      .unionByName(saltDropped.getOrElse(emptyPending))
     // first-spill fences: one row per overflowing never-spilled host
     val schedFence = ranked.filter(col("fp").isNull &&
         col("rank_in_host") === M && col("has_next"))
@@ -1135,7 +1203,12 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         // unread rows still live strictly above band 0). The big
         // deltas (a seed-queue cut) and every compacted base stay
         // fully banded.
-        val bandIt = nFresh > 5000L * cfg.backlogBuckets * (MaxBand + 1)
+        // cut waves (!hasFences — the giant seed-queue trim) always
+        // band: their spill IS the deep backlog later refills must
+        // band-prune; steady-state deltas band only above ~5k rows/dir
+        // (schedSpill is empty once every host is fenced, so nFresh
+        // bounds the steady spill)
+        val bandIt = !hasFences || nFresh > 5000L * cfg.backlogBuckets * (MaxBand + 1)
         schedSpill.unionByName(freshSpill)
           .withColumn("bkb", if (bandIt) bkbCol else bucketCol * lit(MaxBand + 1))
           .repartition(col("bkb")) // one file per (bucket, band) dir

@@ -237,8 +237,12 @@ object Dedup {
       // round count is ~O(log n) regardless of diameter.
       System.err.println(s"[dedup] connectedComponents: diameter > $maxIter propagation " +
         "rounds — switching to large-star/small-star (exact at any diameter)")
+      // <= keeps self-loop rows: Star drops them from its EDGE set but
+      // derives its NODE set from the pairs, so a node whose only edge
+      // is (x,x) still gets a component row — as the converged path
+      // would emit
       val out = connectedComponentsStar(
-        edges.filter(col("src") < col("dst"))
+        edges.filter(col("src") <= col("dst"))
           .select(col("src").as("id_a"), col("dst").as("id_b")))
       edges.unpersist(blocking = false)
       return out

@@ -105,6 +105,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"star scheme took ${Dedup.lastStarRounds} rounds — not O(log n)")
   }
 
+  test("star fallback keeps self-loop-only nodes (converged/fallback membership identical)") {
+    import spark.implicits._
+    // 20-node path (won't converge in 2 rounds) + an isolated node
+    // whose only edge is the self-loop (99,99): the fallback must
+    // still emit a row for 99, as the converged path does
+    val pairs = ((0L until 19L).map(i => (i, i + 1)) :+ (99L, 99L)).toDF("id_a", "id_b")
+    val viaFallback = Dedup.connectedComponents(pairs, maxIter = 2)
+      .as[(Long, Long)].collect().toMap
+    val viaConverged = Dedup.connectedComponents(pairs, maxIter = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(viaFallback == viaConverged,
+      s"fallback membership diverged: ${viaFallback.toSet.diff(viaConverged.toSet)}")
+    assert(viaFallback(99L) == 99L && viaFallback.size == 21)
+  }
+
   test("connectedComponentsStar == min-label propagation on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
