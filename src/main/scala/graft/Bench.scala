@@ -46,17 +46,40 @@ object Bench {
   * GRAFT_BENCH_OUT) so the per-round artifact carries structured
   * numbers instead of a scraped log tail. */
 object BenchOut {
+  /** One id per JVM: every line this process appends is attributable to
+    * this run, so a consumer can group/filter lines even when several
+    * invocations share a file. */
+  private val runId: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName.replaceAll("[^A-Za-z0-9]", "") +
+      "-" + java.lang.Long.toHexString(System.currentTimeMillis())
+  // appended-to names this JVM already wrote: the FIRST append of a JVM
+  // truncates, so an artifact never accumulates stale lines from a
+  // previous build or core-count configuration
+  private val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def write(name: String, line: String, append: Boolean = false): Unit =
     try {
       val d = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "target"))
       java.nio.file.Files.createDirectories(d)
+      val firstAppend = append && appended.add(name)
       val opts: Seq[java.nio.file.OpenOption] =
-        if (append)
+        if (append && !firstAppend)
           Seq(java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
         else
           Seq(java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-      java.nio.file.Files.writeString(d.resolve(name), line + "\n", opts: _*)
+      val stamped =
+        if (line.startsWith("{")) s"""{"run_id":"$runId",${line.drop(1)}"""
+        else line
+      // `name` holds exactly THIS run's lines (truncated at the JVM's
+      // first write — no stale rows from a previous build/core count);
+      // the sidecar .log keeps the cross-JVM history for chunked runs.
+      java.nio.file.Files.writeString(d.resolve(name), stamped + "\n", opts: _*)
+      if (append) {
+        val log = name.replaceAll("\\.json$", "") + ".log.json"
+        java.nio.file.Files.writeString(d.resolve(log), stamped + "\n",
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      }
       ()
     } catch { case e: Exception => System.err.println(s"[bench] artifact write failed: $e") }
 }

@@ -76,7 +76,12 @@ final case class FrontierConfig(
     /** bench mode: skip observability-only jobs (sorted user-facing
       * write, per-partition metrics, state count reports) — semantics
       * unchanged. Defaults from the GRAFT_BENCH env for CLI runs. */
-    fastMode: Boolean = sys.env.get("GRAFT_BENCH").contains("1")
+    fastMode: Boolean = sys.env.get("GRAFT_BENCH").contains("1"),
+    /** synthetic discovery shape: "zipf" (default crawl-like skew) or
+      * "adversarial" (a tiny host set emitting always-best priorities —
+      * the fenced-host head-overgrowth adversary the epoch'd re-cut
+      * exists for; used by tests and the parity comparator). */
+    outlinkMode: String = "zipf"
 )
 
 final case class WaveResult(
@@ -109,6 +114,63 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     new graft.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
   /** Exposed for tests asserting the executor-visible conf contents. */
   private[frontier] def taskHadoopConfBroadcast = taskConfB
+
+  // ----------------------------------------------------------------
+  // Driver-side listing caches
+  // ----------------------------------------------------------------
+  // The wave loop used to re-list the seen/maint/fence delta roots and
+  // every backlog bucket dir on EVERY read (refill phases A and B,
+  // accounting, compaction probes) — O(dirs) FS round-trips per wave
+  // from the driver. Delta dirs are immutable once written and only
+  // this instance writes or compacts them (single-writer crawl), so
+  // the listings are memoized: the wave-number sets update on write /
+  // compact, and per-dir bucket listings are invalidated only for the
+  // dir being (re)written. External deletions are part of the crash
+  // contract only for the latest UNCOMMITTED wave — whose dirs a
+  // re-run rewrites (and re-caches) before any read. Every real
+  // listStatus bumps `Frontier.fsListCount` (test instrumentation for
+  // the O(changed-dirs) contract).
+
+  private val seenWavesCache = new java.util.concurrent.atomic.AtomicReference[Set[Int]](null)
+  private val spillWavesCache = new java.util.concurrent.atomic.AtomicReference[Set[Int]](null)
+  private val fenceWavesCache = new java.util.concurrent.atomic.AtomicReference[Set[Int]](null)
+  private val bucketDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String)]]()
+
+  /** Committed-or-pending delta wave numbers under `<root>/wave=N`,
+    * memoized. `sub` optionally requires a child (e.g. dest=spill). */
+  private def listWaveDirs(root: String, sub: Option[String]): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(cfg.checkpointDir, root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    Frontier.fsListCount.incrementAndGet()
+    if (!fs.exists(p)) return Set.empty
+    fs.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName.stripPrefix("wave=").toIntOption
+        .filter(_ => st.getPath.getName.startsWith("wave="))
+        .filter { _ =>
+          sub.forall { s =>
+            Frontier.fsListCount.incrementAndGet()
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, s))
+          }
+        }
+    }.toSet
+  }
+
+  private def cachedWaves(cache: java.util.concurrent.atomic.AtomicReference[Set[Int]],
+                          root: String, sub: Option[String] = None): Set[Int] = {
+    val cur = cache.get()
+    if (cur != null) cur
+    else { val fresh = listWaveDirs(root, sub); cache.set(fresh); fresh }
+  }
+
+  private def cacheAdd(cache: java.util.concurrent.atomic.AtomicReference[Set[Int]],
+                       w: Int): Unit = {
+    val cur = cache.get(); if (cur != null) cache.set(cur + w)
+  }
+  private def cacheDrop(cache: java.util.concurrent.atomic.AtomicReference[Set[Int]],
+                        upTo: Int): Unit = {
+    val cur = cache.get(); if (cur != null) cache.set(cur.filter(_ > upTo))
+  }
 
   // ----------------------------------------------------------------
   // URL canonicalization + keys
@@ -145,11 +207,19 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   private def indexFilePath(wave: Int): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(cfg.checkpointDir, s"shards/wave=$wave/INDEX.txt")
 
-  /** shard id → ordered level paths (relative to `shards/`). */
+  /** shard id → ordered level paths (relative to `shards/`). When the
+    * canonical file is missing but a fully-written `.reshard` sibling
+    * exists, the reshard swap crashed between delete and rename — the
+    * sibling IS the committed new index (see reshardSeen's protocol). */
   private def readIndex(wave: Int): Map[Int, Seq[String]] = {
-    val p = indexFilePath(wave)
-    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.exists(p)) return Map.empty
+    val p0 = indexFilePath(wave)
+    val f = p0.getFileSystem(spark.sessionState.newHadoopConf())
+    val p =
+      if (f.exists(p0)) p0
+      else {
+        val alt = new org.apache.hadoop.fs.Path(p0.getParent, p0.getName + ".reshard")
+        if (f.exists(alt)) alt else return Map.empty
+      }
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(f.open(p), "UTF-8"))
     try {
       val n = in.readLine().trim.toInt
@@ -244,7 +314,8 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
               val rel = s"wave=$dirWave/$name"
               val dead =
                 if (name.endsWith(".lvl")) !live.contains(rel)
-                else if (name == "INDEX.txt") dirWave < wave - 1
+                else if (name == "INDEX.txt" || name == "INDEX.txt.reshard")
+                  dirWave < wave - 1
                 else false
               if (dead) { try { fs.delete(f.getPath, false); () } catch { case _: Exception => } }
             }
@@ -277,15 +348,9 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     else spark.read.schema(schema).parquet(paths: _*).select("surt_key")
   }
 
-  /** Committed delta-dir wave numbers present on disk. */
-  private def seenDeltaWaves(): Seq[Int] = {
-    val p = new org.apache.hadoop.fs.Path(cfg.checkpointDir, "seen")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return Nil
-    fs.listStatus(p).toSeq
-      .flatMap(st => st.getPath.getName.stripPrefix("wave=").toIntOption.filter(_ =>
-        st.getPath.getName.startsWith("wave=")))
-  }
+  /** Committed delta-dir wave numbers present on disk (memoized). */
+  private def seenDeltaWaves(): Seq[Int] =
+    cachedWaves(seenWavesCache, "seen").toSeq
 
   /** Reclaim base dirs whose publish marker never landed (a crash
     * between the O(state)-sized base write and the marker): readers
@@ -382,6 +447,80 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       rm(dir("seen_base", s"upto=$b"))
     }
     seenDeltaWaves().filter(_ <= upTo).foreach(w => rm(dir("seen", s"wave=$w")))
+    cacheDrop(seenWavesCache, upTo)
+  }
+
+  /** OFFLINE seen-shard RESHARD — lets a crawl that outgrew its
+    * initial `seenShards` grow (e.g. 64 → 4096) without rebuilding the
+    * hash state from the string deltas. Distributed: each OLD shard's
+    * task loads its level files and re-emits every 64-bit hash keyed
+    * by the NEW shard function (shard = floorMod(hash, newShards) — a
+    * pure function of the hash, so membership is preserved exactly);
+    * each NEW shard's task sorts its slice and builds ONE fresh level.
+    * One O(seen) shuffle of raw hashes, run between waves.
+    *
+    * Commit protocol (the index swap IS the commit): (1) write the new
+    * index — NEW shard-count header — as `INDEX.txt.reshard`, fully;
+    * (2) delete `INDEX.txt`; (3) rename the sibling into place.
+    * Crash before (2): old index authoritative, new levels are
+    * orphans the self-healing prune reclaims. Crash between (2) and
+    * (3): readIndex falls back to the fully-written sibling — the new
+    * index is authoritative. Afterwards, resume with a Frontier
+    * configured with the new `seenShards`; the checkpoint/config
+    * mismatch check passes against the new header and fails loudly
+    * for stale-config instances. */
+  def reshardSeen(newShards: Int): Unit = {
+    require(newShards > 0, s"bad shard count $newShards")
+    val wave = latestCommittedWave()
+    require(wave >= 0, "frontier not initialized")
+    if (newShards == cfg.seenShards) return
+    val idx = readIndex(wave)
+    val ckDir = cfg.checkpointDir
+    val confB = taskConfB
+    import spark.implicits._
+    val oldShards: Seq[(Int, Seq[String])] = idx.toSeq
+    val newIdx: Map[Int, Seq[String]] = spark
+      .createDataset(oldShards)
+      .repartition(math.max(1,
+        math.min(oldShards.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { case (_, paths) =>
+        paths.iterator
+          .flatMap(rel => Frontier.loadLevel(ckDir, rel, confB.value.value).hashes.iterator)
+          .map(h => (java.lang.Math.floorMod(h, newShards.toLong).toInt, h))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val hashes = it.map(_._2).toArray
+        java.util.Arrays.sort(hashes)
+        // one shard's levels hold disjoint hash sets, but hashes from
+        // DIFFERENT old shards can only collide if equal — dedupe
+        var n = 0
+        var i = 0
+        while (i < hashes.length) {
+          if (n == 0 || hashes(n - 1) != hashes(i)) { hashes(n) = hashes(i); n += 1 }
+          i += 1
+        }
+        val run = java.util.Arrays.copyOf(hashes, n)
+        val rel = Frontier.storeLevel(ckDir, wave, shard, SeenFilter.buildLevel(run),
+          run.length, confB.value.value, prefix = s"m$newShards-s")
+        (shard, rel)
+      }
+      .collect()
+      .map { case (s, rel) => (s, Seq(rel)) }
+      .toMap
+    // atomic-enough index swap (see scaladoc)
+    val p = indexFilePath(wave)
+    val fs = Frontier.rawFs(p, spark.sessionState.newHadoopConf())
+    val sb = new StringBuilder
+    sb.append(newShards).append('\n')
+    newIdx.foreach { case (s, paths) =>
+      sb.append(s); paths.foreach(pp => sb.append(' ').append(pp)); sb.append('\n')
+    }
+    val alt = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".reshard")
+    val out = fs.create(alt, true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(alt, p), s"reshard index swap failed: $p")
   }
 
   /** Dedup candidates in-batch AND drop already-seen ones in ONE
@@ -602,6 +741,15 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("priority", org.apache.spark.sql.types.IntegerType)))
 
+  /** Backlog rows additionally carry the EPOCH they were spilled under
+    * (head rows never do — the head is always live). A backlog row is
+    * believed only while its epoch equals its host's current fence
+    * epoch; an epoch bump (per-host re-cut) invalidates every older
+    * row of that host at once without touching the files. */
+  private val BacklogSchema = org.apache.spark.sql.types.StructType(
+    PendingSchema.fields :+ org.apache.spark.sql.types.StructField(
+      "epoch", org.apache.spark.sql.types.IntegerType))
+
   private def headM: Int = math.max(cfg.hostBudget, cfg.headMult * cfg.hostBudget)
 
   private def bucketCol: org.apache.spark.sql.Column =
@@ -642,6 +790,9 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   private def emptyPending: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PendingSchema)
 
+  private def emptyBacklog: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BacklogSchema)
+
   /** Schema-pinned recursive read (bucket subdirs are storage layout,
     * not data); empty frame when the dest partition wrote no rows. */
   private def readDest(d: String): DataFrame =
@@ -654,25 +805,99 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("fs", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("bn", org.apache.spark.sql.types.LongType)))
+    org.apache.spark.sql.types.StructField("bn", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("epoch", org.apache.spark.sql.types.IntegerType)))
 
-  /** (host, fp, fs, bn): fence priority/surt (NULL = never spilled)
-    * and live-backlog row count. One row per host that ever spilled. */
-  private def fenceDf(wave: Int): DataFrame =
-    spark.read.schema(FenceSchema).parquet(dir("fence", s"wave=$wave"))
+  private def emptyFence: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FenceSchema)
 
-  /** Wave numbers whose maint dir still holds a spill (backlog delta)
-    * partition. */
-  private def backlogDeltaWaves(): Seq[Int] = {
-    val p = new org.apache.hadoop.fs.Path(cfg.checkpointDir, "maint")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return Nil
-    fs.listStatus(p).toSeq.flatMap { st =>
-      st.getPath.getName.stripPrefix("wave=").toIntOption
-        .filter(_ => st.getPath.getName.startsWith("wave="))
-        .filter(w => fs.exists(new org.apache.hadoop.fs.Path(spillDir(w))))
+  /** FENCE DELTA STORE (round 5 — replaces the per-wave full fence
+    * rewrite, which was O(hosts-ever-spilled) per wave; at 10^8 fenced
+    * hosts that was a few GB of full_outer + rewrite every wave even
+    * when almost every host was drained and dormant). Same pattern as
+    * the seen/backlog deltas: a wave appends ONE small delta
+    * (`fence_delta/wave=N`) holding a row ONLY for hosts whose fence
+    * state changed this wave — new first-spill fences, hosts that
+    * received spill (bn grew), refilled hosts (fp/fs raised, bn
+    * shrank), epoch re-cuts — and readers take the latest row per host
+    * over (compacted base, deltas). `compactFence` folds deltas into
+    * `fence_base/upto=B` (marker-published, crash-safe like the other
+    * two compactions) every `compactEvery` waves.
+    *
+    * A fence row is (host, fp, fs, bn, epoch): the fence watermark
+    * (always non-null in a stored row — only spilled hosts have rows),
+    * the live-backlog count, and the host's backlog EPOCH. Backlog
+    * rows carry the epoch they were spilled under; a read only
+    * believes rows whose epoch matches the host's current fence epoch,
+    * which is what lets an adversarially-overgrown head be RE-CUT
+    * (fence reset + epoch bump) without resurrecting stale refill
+    * copies — see maintainFrontier step 5. */
+  private def latestFenceBase(wave: Int): Option[Int] = {
+    val re = "FENCE_BASE-(\\d+)\\.json".r
+    val c = listMarkerWaves(re).filter(_ <= wave)
+    if (c.isEmpty) None else Some(c.max)
+  }
+
+  private def fenceDeltaWaves(): Seq[Int] =
+    cachedWaves(fenceWavesCache, "fence_delta").toSeq
+
+  /** Latest-per-host fence view as of `wave`: base ∪ committed deltas
+    * in (base, wave], reduced by delta recency. One hash-agg shuffle of
+    * O(hosts + delta rows); its output partitioning (host) is exactly
+    * what every consumer joins on. */
+  private def fenceDf(wave: Int): DataFrame = {
+    val base = latestFenceBase(wave)
+    val b = base.getOrElse(-1)
+    val deltaW = fenceDeltaWaves().filter(w => w > b && w <= wave).toSeq.sorted
+    // per-dir reads with a LITERAL recency stamp (delta count is
+    // bounded by compactEvery, so the union stays a handful of scans)
+    val parts = base.map(bb =>
+        spark.read.schema(FenceSchema).parquet(dir("fence_base", s"upto=$bb"))
+          .withColumn("__w", lit(-1))).toSeq ++
+      deltaW.map(w =>
+        spark.read.schema(FenceSchema).parquet(dir("fence_delta", s"wave=$w"))
+          .withColumn("__w", lit(w)))
+    parts match {
+      case Seq() => emptyFence
+      case ps =>
+        ps.reduce(_ unionByName _)
+          .groupBy("host")
+          .agg(max_by(struct(col("fp"), col("fs"), col("bn"), col("epoch")), col("__w")).as("s"))
+          .select(col("host"), col("s.fp").as("fp"), col("s.fs").as("fs"),
+            col("s.bn").as("bn"), col("s.epoch").as("epoch"))
     }
   }
+
+  /** Fold fence deltas ≤ `upTo` (committed) into one compacted base.
+    * Marker-published; readers enumerate (base, deltas > base), so a
+    * crash anywhere leaves only unread garbage. Wired into the wave
+    * loop with the seen/backlog compactions. */
+  def compactFence(upTo: Int): Unit = {
+    require(upTo <= latestCommittedWave(), s"wave $upTo not committed yet")
+    if (latestFenceBase(upTo).contains(upTo)) return
+    if (fenceDeltaWaves().forall(_ > upTo)) return // nothing to fold
+    sweepOrphanBases("fence_base", "FENCE_BASE-")
+    val prevBase = latestFenceBase(upTo)
+    fenceDf(upTo).write.mode("overwrite").parquet(dir("fence_base", s"upto=$upTo"))
+    publishMarker(s"FENCE_BASE-$upTo.json", s"""{"upto":$upTo}""")
+    val conf = spark.sessionState.newHadoopConf()
+    def rm(path: String): Unit =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, true); ()
+      } catch { case _: Exception => }
+    prevBase.foreach { bb =>
+      deleteMarker(s"FENCE_BASE-$bb.json")
+      rm(dir("fence_base", s"upto=$bb"))
+    }
+    fenceDeltaWaves().filter(_ <= upTo).foreach(w => rm(dir("fence_delta", s"wave=$w")))
+    cacheDrop(fenceWavesCache, upTo)
+  }
+
+  /** Wave numbers whose maint dir still holds a spill (backlog delta)
+    * partition (memoized). */
+  private def backlogDeltaWaves(): Seq[Int] =
+    cachedWaves(spillWavesCache, "maint", Some("dest=spill")).toSeq
 
   private def latestBacklogBase(wave: Int): Option[Int] = {
     val re = "BACKLOG_BASE-(\\d+)\\.json".r
@@ -690,46 +915,56 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       backlogDeltaWaves().filter(w => w > b && w <= wave).sorted.map(spillDir)
   }
 
-  /** Live backlog rows as of `wave`: fence join drops stale copies of
-    * refilled rows. O(backlog) — observability/compaction path only,
-    * never part of a wave. */
+  /** Live backlog rows as of `wave` (with their epoch): the fence join
+    * drops stale copies of refilled rows (≤ fence) AND rows from
+    * superseded epochs (re-cut hosts). O(backlog) — observability /
+    * compaction path only, never part of a wave. */
   private def backlogLive(wave: Int, fence: DataFrame): DataFrame = {
     // enumerate concrete bucket dirs (partition discovery would treat
     // the delta=N roots as conflicting partition structures)
     val dirs = backlogBucketDirs(wave, (0 until cfg.backlogBuckets).toSet)
     if (dirs.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PendingSchema)
-    val raw = spark.read.schema(PendingSchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BacklogSchema)
+    val raw = spark.read.schema(BacklogSchema)
       .option("recursiveFileLookup", "true").parquet(dirs: _*)
-      .select("surt_key", "canonical_url", "host", "priority")
-    raw.join(fence.select(col("host"), col("fp"), col("fs")), Seq("host"), "inner")
+      .select("surt_key", "canonical_url", "host", "priority", "epoch")
+    raw.join(fence.select(col("host"), col("fp"), col("fs"),
+        col("epoch").as("__fe")), Seq("host"), "inner")
       .filter(col("fp").isNotNull &&
+        coalesce(col("epoch"), lit(0)) === coalesce(col("__fe"), lit(0)) &&
         (col("priority") > col("fp") ||
           (col("priority") === col("fp") && col("surt_key") > col("fs"))))
-      .select("surt_key", "canonical_url", "host", "priority")
+      .select("surt_key", "canonical_url", "host", "priority", "epoch")
   }
 
   /** The bkb=<bucket*16+band> subdirectories of the readable backlog
     * dirs whose logical bucket is in `buckets` and which physically
     * exist — the directory-pruned refill read set. `bandZeroOnly`
-    * keeps only band-0 dirs. */
+    * keeps only band-0 dirs. Per-dir child listings are memoized
+    * (delta/base dirs are immutable; the writer invalidates the one
+    * dir it rewrites). */
   private def backlogBucketDirs(wave: Int, buckets: Set[Int],
-                                bandZeroOnly: Boolean = false): Seq[String] = {
+                                bandZeroOnly: Boolean = false,
+                                excludeDir: Option[String] = None): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
-    backlogDirs(wave).flatMap { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        n.stripPrefix("bkb=").toIntOption match {
-          case Some(v) if n.startsWith("bkb=") &&
-              buckets.contains(v / (MaxBand + 1)) &&
-              (!bandZeroOnly || v % (MaxBand + 1) == 0) =>
-            Some(st.getPath.toString)
-          case _ => None
+    backlogDirs(wave).filterNot(excludeDir.contains).flatMap { d =>
+      val children = bucketDirCache.computeIfAbsent(d, { dd =>
+        val p = new org.apache.hadoop.fs.Path(dd)
+        val fs = p.getFileSystem(conf)
+        Frontier.fsListCount.incrementAndGet()
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          n.stripPrefix("bkb=").toIntOption match {
+            case Some(v) if n.startsWith("bkb=") => Some((v, st.getPath.toString))
+            case _                               => None
+          }
         }
+      })
+      children.collect {
+        case (v, path) if buckets.contains(v / (MaxBand + 1)) &&
+            (!bandZeroOnly || v % (MaxBand + 1) == 0) => path
       }
     }
   }
@@ -749,10 +984,11 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val prevBase = latestBacklogBase(upTo)
     val live = backlogLive(upTo, fenceDf(upTo))
     live.select(col("surt_key"), col("canonical_url"), col("host"), col("priority"),
-        bkbCol.as("bkb"))
+        col("epoch"), bkbCol.as("bkb"))
       .repartition(col("bkb"))
       .write.partitionBy("bkb").mode("overwrite")
       .parquet(dir("backlog_base", s"upto=$upTo"))
+    bucketDirCache.remove(dir("backlog_base", s"upto=$upTo"))
     publishMarker(s"BACKLOG_BASE-$upTo.json", s"""{"upto":$upTo}""")
     val conf = spark.sessionState.newHadoopConf()
     def rm(path: String): Unit =
@@ -763,11 +999,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     prevBase.foreach { b =>
       deleteMarker(s"BACKLOG_BASE-$b.json")
       rm(dir("backlog_base", s"upto=$b"))
+      bucketDirCache.remove(dir("backlog_base", s"upto=$b"))
     }
     // folded spill deltas go; their maint dir disappears once the
     // head/fence partitions were pruned too (non-recursive no-op else)
     backlogDeltaWaves().filter(_ <= upTo).foreach { w =>
       rm(spillDir(w))
+      bucketDirCache.remove(spillDir(w))
       try {
         val p = new org.apache.hadoop.fs.Path(maintDir(w))
         val fs = p.getFileSystem(conf)
@@ -775,14 +1013,18 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         fs.delete(p, false); ()
       } catch { case _: Exception => }
     }
+    cacheDrop(spillWavesCache, upTo)
   }
 
-  /** Delete superseded per-wave state: fence dirs and the head/fence
-    * partitions of maint dirs ≤ wave-2 (resume reads at most state
-    * wave-1; spill partitions are BACKLOG and live until compaction).
+  /** Delete superseded per-wave state: stale FENCES markers and the
+    * head partitions of maint dirs ≤ wave-2 (resume reads at most
+    * state wave-1; spill partitions are BACKLOG and fence deltas are
+    * fence STATE — both live until their compactions fold them).
     * Self-healing (diffs the disk, not a fixed offset). */
   private def pruneFrontierState(wave: Int): Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    for (w <- listMarkerWaves("FENCES-(\\d+)\\.m".r) if w <= wave - 2)
+      deleteMarker(s"FENCES-$w.m")
     def waveDirs(kind: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
       val root = new org.apache.hadoop.fs.Path(cfg.checkpointDir, kind)
       try {
@@ -794,10 +1036,6 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
             .map(w => (w, d.getPath))
         }
       } catch { case _: Exception => Nil }
-    }
-    for ((w, p) <- waveDirs("fence") if w <= wave - 2) {
-      try { p.getFileSystem(conf).delete(p, true); () } catch { case _: Exception => }
-      deleteMarker(s"FENCES-$w.m")
     }
     for ((w, p) <- waveDirs("maint") if w <= wave - 2) {
       val fs = p.getFileSystem(conf)
@@ -813,23 +1051,12 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   // Synthetic discovery (outlinks) — deterministic, Zipf-skewed hosts
   // ----------------------------------------------------------------
 
+  /** Synthetic discovery — ONE generator shared verbatim with the
+    * sequential parity comparator (`ReferenceCrawler.outlinks`), so
+    * schedule parity can never drift on generator details. */
   private def discoverOutlinks(scheduled: DataFrame): DataFrame = {
-    val n = cfg.outlinksPerUrl
-    val pool = cfg.hostPool
-    val seed = cfg.seed
-    val gen = udf((surt: String) => {
-      val h0 = SeenFilter.hashKey(surt + ":" + seed)
-      (0 until n).map { i =>
-        val h = SeenFilter.hashKey(surt + "#" + i)
-        // Zipf-ish skew: cube of uniform concentrates on low host ids
-        val u = (java.lang.Math.floorMod(h, 1000000L)) / 1000000.0
-        val hostId = (pool * u * u * u).toInt
-        val path = java.lang.Math.floorMod(h ^ h0, 100000L)
-        val priv = if (java.lang.Math.floorMod(h, 7L) == 0L) "/private" else ""
-        (s"https://www.host$hostId.example.org$priv/p/$path?x=1",
-          java.lang.Math.floorMod(h, 100L).toInt)
-      }
-    })
+    val c = cfg // capture the case class, not the Frontier instance
+    val gen = udf((surt: String) => ReferenceCrawler.outlinks(surt, c))
     scheduled.select(explode(gen(col("surt_key"))).as("link"))
       .select(col("link._1").as("url"), col("link._2").as("priority"))
   }
@@ -900,9 +1127,8 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       // O(seeds) I/O with zero exchanges.
       applyRobots(canon).observe(headObs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(headDir(0))
-      spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FenceSchema)
-        .write.mode("overwrite").parquet(dir("fence", "wave=0"))
+      // no fence state at init: the fence VIEW is empty until the first
+      // spill writes a delta (wave 1's lazy cut)
     }
     Await.result(fSeen, Duration.Inf)
     Await.result(fShards, Duration.Inf)
@@ -936,85 +1162,91 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
 
     val prevIdx = readIndex(prev)
     val head = headDf(prev)
-    val fencePrev = fenceDf(prev)
-
-    // 1. schedule from the HEAD under the politeness budget: a plain
-    // per-host window — head rows per host are bounded by ~M, so no
-    // salting is needed here (hot-host mass lives in the backlog, not
-    // the head). The SAME ranked frame yields both the scheduled rows
-    // (rank ≤ k_eff) and the head remainder (rank > k_eff) — no
-    // anti-join of state against schedule exists anymore.
-    // The same ranked frame ALSO drives the LAZY head cut (see
-    // maintainFrontier): never-spilled hosts whose queue overflowed M
-    // get trimmed here — rank > M rows spill, the rank-M row becomes
-    // the first fence — since this window must sort the head anyway,
-    // the cut costs no extra shuffle, ever.
-    val w = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
     // FENCE-FREE FAST PATH: the previous wave records whether ANY host
     // has a fence (a tiny disk marker — no job). Most crawls' early
-    // waves (and wide-shallow crawls forever) have none, and then the
-    // fence join, the needy probe and the fencePrev reads all vanish.
+    // waves have none, and then the fence-view read, the needy probe
+    // and the accounting joins all vanish.
     val hasFences = markerExists(s"FENCES-$prev.m")
+    // latest-per-host fence VIEW, persisted for the wave — consumed by
+    // the schedule join, the fresh-routing join and the accounting
+    // joins (one O(hosts) reduce instead of three recomputations; the
+    // full per-wave fence REWRITE it replaces is gone — see the fence
+    // delta store above)
+    val fencePrev =
+      (if (hasFences) fenceDf(prev) else emptyFence)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 1. UNIFIED schedule/cut window over the HEAD only — O(heads),
+    // never O(pending). FENCED hosts (heads bounded ~M) rank in a
+    // plain per-host window. UNFENCED hosts — the whole seed queue
+    // after init, or a newly discovered host's one-wave arrivals
+    // (possibly Zipf-head-sized) — first pass a SALTED per-(host,salt)
+    // top-M pre-cut so no single hot host can serialize one reducer
+    // (r4 review: the cliff used to hit a NEW hot host's first fenced
+    // wave): a row dropped by its salt group has ≥ M better rows in
+    // that group alone, hence is outside the host's true top-M and
+    // spills directly — exact. The same ranked frame yields the
+    // scheduled rows (rank ≤ k_eff), the head remainder, the LAZY CUT
+    // (rank > M spills, the rank-M row becomes the first fence) and
+    // has_next (per-host count join for unfenced hosts — survivor-
+    // local lead() cannot see salt-dropped rows).
     val M = headM
-    var extraPersists: List[DataFrame] = Nil
-    val (ranked, saltDropped) =
-      if (hasFences) {
-        // fenced steady state: heads are already cut to ~M per host —
-        // a plain window suffices. row_number and lead share ONE
-        // Window pass (same partitioning + ordering): has_next at the
-        // rank-M row tells whether the host's queue overflows M
-        // without a second count-over-partition pass.
-        val r = withKeff(head)
-          .join(fencePrev.select(col("host"), col("fp"), col("fs")), Seq("host"), "left")
-          .withColumn("rank_in_host", row_number().over(w))
-          .withColumn("has_next", lead(col("surt_key"), 1).over(w).isNotNull)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (r, None)
-      } else {
-        // fence-free waves hold UNCUT queues (the whole seed list
-        // after init; a new hot host's first wave): the schedule/cut
-        // window gets the SALTED pre-phase so one Zipf-head host
-        // cannot serialize a reducer — phase 1 keeps per-(host, salt)
-        // top-M (a superset of the true top-M; rows it drops have ≥ M
-        // better rows in their own salt group, hence are outside the
-        // global top-M and spill directly — exact), phase 2 ranks the
-        // ≤ salt×M survivors per host. has_next = "host total exceeds
-        // this rank" comes from a per-host count join (survivor-local
-        // lead() cannot see salt-dropped rows — a fence must be set
-        // whenever ANYTHING spilled).
-        val base = withKeff(head)
+    val w = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
+    val wSalt = Window
+      .partitionBy(col("host"), pmod(hash(col("surt_key")), lit(cfg.salt)))
+      .orderBy(col("priority"), col("surt_key"))
+    val base = (
+      if (hasFences)
+        withKeff(head).join(
+          fencePrev.select(col("host"), col("fp"), col("fs"), col("epoch")),
+          Seq("host"), "left")
+      else
+        withKeff(head)
           .withColumn("fp", lit(null).cast("int"))
           .withColumn("fs", lit(null).cast("string"))
-        val wSalt = Window
-          .partitionBy(col("host"), pmod(hash(col("surt_key")), lit(cfg.salt)))
-          .orderBy(col("priority"), col("surt_key"))
-        val p1 = base.withColumn("rn1", row_number().over(wSalt))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        extraPersists ::= p1
-        val cnts = base.groupBy("host").agg(count(lit(1)).as("cnt"))
-        val r = p1.filter(col("rn1") <= M).drop("rn1")
-          .withColumn("rank_in_host", row_number().over(w))
-          .join(cnts, Seq("host"))
-          .withColumn("has_next", col("cnt") > col("rank_in_host"))
-          .drop("cnt")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (r, Some(p1.filter(col("rn1") > M)
-          .select("surt_key", "canonical_url", "host", "priority")))
-      }
-    val scheduled = ranked.filter(col("rank_in_host") <= col("k_eff"))
+          .withColumn("epoch", lit(null).cast("int"))
+      ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nullSlice = base.filter(col("fp").isNull)
+    val p1 = nullSlice.withColumn("rn1", row_number().over(wSalt))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnts = nullSlice.groupBy("host").agg(count(lit(1)).as("cnt"))
+    val ranked = base.filter(col("fp").isNotNull)
+      .unionByName(p1.filter(col("rn1") <= M).drop("rn1"))
+      .withColumn("rank_in_host", row_number().over(w))
+      .join(cnts, Seq("host"), "left")
+      .withColumn("has_next",
+        coalesce(col("cnt") > col("rank_in_host"), lit(false)))
+      .drop("cnt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val saltDropped = p1.filter(col("rn1") > M)
+      .select("surt_key", "canonical_url", "host", "priority")
+
+    val scheduled0 = ranked.filter(col("rank_in_host") <= col("k_eff"))
       .withColumn("wave", lit(wave))
       .select("host", "surt_key", "canonical_url", "priority", "rank_in_host", "wave")
+    // RE-GATE the scheduled rows against the CURRENT robots snapshot
+    // (r4 advice): rows were robots-gated at INSERT under the snapshot
+    // current THEN; a crawl resumed with a newer snapshot must not
+    // fetch a queued URL the new rules disallow (RFC 9309 — checks
+    // apply at fetch time). O(scheduled) rows, and provably a no-op
+    // while the snapshot is unchanged (every scheduled row passed the
+    // same rules at insert), so parity/oracles/determinism are
+    // untouched. A suppressed row is consumed-not-fetched; the inverse
+    // case — disallowed at insert, re-allowed later — stays uncrawled
+    // (insert-time seen membership is the documented semantics, shared
+    // with the reference comparator).
+    val scheduled = applyRobots(scheduled0)
     val scheduledOut = if (fast) scheduled else scheduled.orderBy("priority", "host", "surt_key")
     // count observed on the write job itself — no read-back count job
     val schedObs = org.apache.spark.sql.Observation()
     scheduledOut.observe(schedObs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(dir("scheduled", s"wave=$wave"))
-    val scheduledR = spark.read.parquet(dir("scheduled", s"wave=$wave"))
     phase("schedule+write")
 
-    // per-partition lineage metrics
+    // per-partition lineage metrics (over the artifact just written)
     if (!fast) {
-      scheduledR.groupBy(spark_partition_id().as("partition_id"))
+      spark.read.parquet(dir("scheduled", s"wave=$wave"))
+        .groupBy(spark_partition_id().as("partition_id"))
         .agg(count(lit(1)).as("n_scheduled"), countDistinct(col("host")).as("n_hosts"))
         .withColumn("wave", lit(wave))
         .write.mode("overwrite").parquet(dir("metrics", s"wave=$wave"))
@@ -1024,9 +1256,12 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // 2+3. discover outlinks of the scheduled batch; canonicalize,
     // then dedup + seen-subtract in ONE shard-keyed shuffle (the
     // in-batch groupBy-min dedup is fused into the shard probe —
-    // subtractSeen). `fresh` feeds the state updates below — persist
-    // so the discovery + subtraction DAG runs once.
-    val discovered = canonicalized(discoverOutlinks(scheduledR))
+    // subtractSeen). Discovery feeds from the CACHED schedule frame —
+    // the write-then-re-read round trip (listing + footer reads) of
+    // the scheduled parquet is gone (r4 fixed-cost item). `fresh`
+    // feeds the state updates below — persist so the discovery +
+    // subtraction DAG runs once.
+    val discovered = canonicalized(discoverOutlinks(scheduled))
     val fresh = subtractSeen(
       discovered.select("surt_key", "canonical_url", "host", "priority"), prevIdx)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1047,6 +1282,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       val t = System.nanoTime()
       // seen DELTA: persist only this wave's fresh keys (O(fresh) write)
       fresh.select("surt_key").write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
+      cacheAdd(seenWavesCache, wave)
       if (debug) System.err.println(
         f"[frontier]     fSeen: ${(System.nanoTime() - t) / 1e9}%.2fs")
     }
@@ -1060,14 +1296,17 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       updatedShards
     }
     val fState = Future {
-      maintainFrontier(ranked, fencePrev, fresh, wave, hasFences, nFresh, saltDropped)
+      maintainFrontier(ranked, fencePrev, scheduled, fresh, wave, hasFences,
+        nFresh, saltDropped)
     }
     Await.result(fSeen, Duration.Inf)
     Await.result(fShards, Duration.Inf)
     Await.result(fState, Duration.Inf)
     fresh.unpersist(blocking = false)
     ranked.unpersist(blocking = false)
-    extraPersists.foreach(_.unpersist(blocking = false))
+    base.unpersist(blocking = false)
+    p1.unpersist(blocking = false)
+    fencePrev.unpersist(blocking = false)
     phase("state writes (head/fence/backlog+seen+shards, concurrent)")
 
     // scheduled count came from the write job's Observation; state-size
@@ -1092,42 +1331,65 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     if (cfg.compactEvery > 0 && wave > 0 && wave % cfg.compactEvery == 0) {
       compactSeen(wave - 1)
       compactBacklog(wave - 1)
+      compactFence(wave - 1)
     }
     res
   }
 
   /** The wave's head/fence/backlog maintenance — every step costs
-    * O(head + fresh + hosts + refilled-backlog), never O(pending):
+    * O(head + fresh + hosts-touched + refilled-backlog), never
+    * O(pending) and (new in round 5) the fence WRITE is never
+    * O(hosts-ever-spilled):
     *
     *  1. LAZY CUT, fused into the schedule window: the ranked head
     *     frame (already sorted per host for scheduling) trims each
     *     never-spilled host whose queue exceeded M — rank > M rows
-    *     spill, the rank-M row becomes the host's first fence. The
-    *     cut is free (the schedule had to sort the head anyway) and
-    *     finite-fence hosts are never trimmed (fences are monotone —
-    *     no row at-or-below a fence may ever re-enter the backlog,
-    *     where stale refill copies live).
-    *  2. fresh (robots-gated at insert) joins the post-cut fence
-    *     table and ROUTES with no window at all: above-fence rows
-    *     append to the wave's backlog delta; everything else goes
-    *     straight to the head. A brand-new host's whole queue rides
-    *     in the head until the next schedule window cuts it — bounded
-    *     overgrowth for one wave, exactness unaffected (the head is
-    *     still exactly "pending at-or-below the fence").
-    *  3. state lands in TWO writes: the head (pure cached scans — no
-    *     shuffle) and the bucketed spill delta (one small shuffle of
-    *     just the spilled rows); per-host head/spill counts come back
-    *     as columnar reads of what was written.
-    *  4. refill: hosts with live backlog (bn > 0) whose head dropped
-    *     below hostBudget pull their per-host top-(M − |head|) back
-    *     from the backlog — reading ONLY the needy hosts' bucket
-    *     dirs — and their fences RAISE to the max refilled row (stale
-    *     copies left behind become invisible to every later read).
+    *     spill, the rank-M row becomes the host's first fence.
+    *     Finite-fence hosts are never trimmed here — fences are
+    *     monotone WITHIN an epoch (step 5 is the exception that bumps
+    *     the epoch).
+    *  2. fresh (robots-gated at insert) joins the post-cut fence view
+    *     and ROUTES with no window at all: above-fence rows append to
+    *     the wave's backlog delta TAGGED WITH THE HOST'S EPOCH;
+    *     everything else goes straight to the head.
+    *  3. state lands in TWO writes (shuffle-free head from cached
+    *     scans; one small bucketed/banded spill shuffle), submitted
+    *     concurrently with the per-host accounting aggregate `info` —
+    *     which derives from the SAME cached frames (the r4 read-back
+    *     of the freshly-written parquet is gone). `info` holds one row
+    *     per host this wave might touch (scheduled, or receiving
+    *     cut/fresh rows) with its prior fence, spill count and head
+    *     count — O(wave work) rows, not O(hosts).
+    *  4. REFILL, deamortized: mandatory when the head dropped below
+    *     the politeness budget; EARLY for draining hosts below
+    *     2×budget on their host-hash phase — hosts seeded together
+    *     otherwise drain together and pulse one expensive refill wave
+    *     every ~headMult−1 waves. An early refill only ADDS rows that
+    *     are worse than every current head row (backlog > fence), so
+    *     the schedule is provably unchanged. Two-phase banded reads,
+    *     fences RAISE to the max refilled row, as before.
+    *  5. EPOCH'D PER-HOST RE-CUT — the fenced-host head-overgrowth
+    *     adversary (discovery persistently emitting better-than-fence
+    *     rows grows a head without bound; the fence cannot be lowered
+    *     in place without resurrecting stale refill copies). A host
+    *     whose head exceeded 2×M is re-cut to M: its live backlog is
+    *     REWRITTEN into this wave's delta under epoch+1 together with
+    *     the spilled head overflow, and its fence RESETS at the new
+    *     top-M boundary with the bumped epoch — every older backlog
+    *     row of that host (stale copies included) dies by epoch
+    *     mismatch, never by a fence comparison. Costs O(that host's
+    *     backlog) when triggered, nothing otherwise; post-wave every
+    *     host's head is ≤ 2×M by construction.
+    *  6. the wave's FENCE DELTA — one row per touched, refilled or
+    *     re-cut host — appends to the fence store; dormant and
+    *     merely-draining hosts write NOTHING (the r4 full rewrite was
+    *     O(hosts-ever-spilled) per wave).
     */
   private def maintainFrontier(ranked: DataFrame, fencePrev: DataFrame,
+                               schedPreGate: DataFrame,
                                fresh: DataFrame, wave: Int,
                                hasFences: Boolean, nFresh: Long,
-                               saltDropped: Option[DataFrame]): Unit = {
+                               saltDropped: DataFrame): Unit = {
     import spark.implicits._
     val debug = sys.env.get("GRAFT_DEBUG").contains("1")
     var tSub = System.nanoTime()
@@ -1137,7 +1399,9 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       tSub = now
     }
     val M = headM
+    val budget = cfg.hostBudget
     val pcols = Seq("surt_key", "canonical_url", "host", "priority")
+    val bcols = pcols :+ "epoch"
     val wHost = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
     // a crashed earlier attempt may have left partial subdirs; the
     // wave's state is rebuilt from scratch (invisible until commit)
@@ -1145,6 +1409,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       val p = new org.apache.hadoop.fs.Path(maintDir(wave))
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true); ()
     } catch { case _: Exception => }
+    bucketDirCache.remove(spillDir(wave))
 
     // 1. lazy cut from the schedule frame (all cached scans)
     val keepHead = ranked.filter(col("rank_in_host") > col("k_eff") &&
@@ -1153,221 +1418,312 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val schedSpill = ranked.filter(col("fp").isNull && col("rank_in_host") > M)
       .select(pcols.map(col): _*)
       // phase-1 salt drops are provably outside the per-host top-M
-      .unionByName(saltDropped.getOrElse(emptyPending))
+      .unionByName(saltDropped)
+      .withColumn("epoch", lit(0)) // a first fence starts at epoch 0
     // first-spill fences: one row per overflowing never-spilled host
     val schedFence = ranked.filter(col("fp").isNull &&
         col("rank_in_host") === M && col("has_next"))
       .select(col("host"), col("priority").as("nfp"), col("surt_key").as("nfs"))
 
-    // 2. fresh routing against the POST-CUT fence view (when no fences
-    // existed before, the route table is just this wave's fence sets)
+    // 2. fresh routing against the POST-CUT fence view. A schedFence
+    // host was unfenced, so it has NO row in the fence view — the
+    // post-cut view is a disjoint UNION (the r4 full_outer join over
+    // the whole fence table is gone).
+    val fenceRouteNew = schedFence.select(col("host"), col("nfp").as("fp"),
+      col("nfs").as("fs"), lit(0).as("epoch"))
     val fenceRoute =
       if (hasFences)
-        fencePrev.select(col("host"), col("fp"), col("fs"))
-          .join(schedFence, Seq("host"), "full_outer")
-          .select(col("host"),
-            coalesce(col("nfp"), col("fp")).as("fp"),
-            coalesce(col("nfs"), col("fs")).as("fs"))
-      else schedFence.select(col("host"), col("nfp").as("fp"), col("nfs").as("fs"))
-    val freshAllowed = applyRobots(fresh.select(pcols.map(col): _*))
-    val fj = freshAllowed.join(fenceRoute, Seq("host"), "left")
+        fencePrev.select(col("host"), col("fp"), col("fs"), col("epoch"))
+          .unionByName(fenceRouteNew)
+      else fenceRouteNew
     val aboveFence = col("fp").isNotNull &&
       (col("priority") > col("fp") ||
         (col("priority") === col("fp") && col("surt_key") > col("fs")))
+    // routed fresh, persisted: head/spill slices, the head write, the
+    // accounting aggregate and a possible re-cut all scan it
+    val fj = applyRobots(fresh.select(pcols.map(col): _*))
+      .join(fenceRoute, Seq("host"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshHead = fj.filter(!aboveFence).select(pcols.map(col): _*)
-    val freshSpill = fj.filter(aboveFence).select(pcols.map(col): _*)
+    val freshSpill = fj.filter(aboveFence).select(bcols.map(col): _*)
 
-    // 3. two state writes — INDEPENDENT jobs over cached inputs,
-    // submitted concurrently: shuffle-free head, bucketed spill delta
-    locally {
+    val headRows = keepHead.unionByName(freshHead)
+    val spillRows = schedSpill.unionByName(freshSpill)
+    // banded like the compacted base — but ONLY when this wave's spill
+    // is big enough for bands to carry real mass (per-dir create+commit
+    // is a fixed cost; small deltas collapse into band 0, which phase-A
+    // refills always read anyway). Cut waves always band: their spill
+    // IS the deep backlog later refills must band-prune.
+    val bandIt = !hasFences || nFresh > 5000L * cfg.backlogBuckets * (MaxBand + 1)
+    def writeSpill(rows: DataFrame): Unit = {
+      rows.withColumn("bkb", if (bandIt) bkbCol else bucketCol * lit(MaxBand + 1))
+        .repartition(col("bkb")) // one file per (bucket, band) dir
+        .write.partitionBy("bkb").mode("overwrite").parquet(spillDir(wave))
+      cacheAdd(spillWavesCache, wave)
+      bucketDirCache.remove(spillDir(wave))
+    }
+    def writeHead(rows: DataFrame): Unit =
+      // narrow coalesce: the union doubles partition count; halve it
+      // back so the head dir keeps ~one file per core
+      rows.coalesce(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(headDir(wave))
+
+    // per-host accounting over the SAME cached frames the writes scan
+    // (r4 re-read the just-written parquet for these counts): one row
+    // per candidate host — scheduled (pre-robots-re-gate, the safe
+    // superset) or receiving rows — with prior fence state, this
+    // wave's spill count and pre-refill head count. Everything the
+    // needy/re-cut decisions and the fence delta need, O(wave work).
+    val headCounts = headRows.groupBy("host").agg(count(lit(1)).as("hc"))
+    val spillCounts = spillRows.groupBy("host").agg(count(lit(1)).as("spilled"))
+    val cand = schedPreGate.select("host").unionByName(fj.select("host")).distinct()
+    val info = cand
+      .join(fencePrev.select(col("host"), col("fp").as("pfp"), col("fs").as("pfs"),
+        col("bn").as("pbn"), col("epoch").as("pep")), Seq("host"), "left")
+      .join(spillCounts, Seq("host"), "left")
+      .join(schedFence, Seq("host"), "left")
+      .join(headCounts, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("nfp"), col("pfp")).as("fp"),
+        coalesce(col("nfs"), col("pfs")).as("fs"),
+        coalesce(col("pep"), lit(0)).as("epoch"),
+        (coalesce(col("pbn"), lit(0L)) + coalesce(col("spilled"), lit(0L))).as("bn"),
+        coalesce(col("hc"), lit(0L)).as("hc"),
+        (col("spilled").isNotNull || col("nfp").isNotNull).as("touched"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deamortized refill trigger (see scaladoc step 4)
+    val spreadPeriod = math.max(1, cfg.headMult - 1)
+    val needyCond = col("fp").isNotNull && col("bn") > 0 && col("hc") < M &&
+      (col("hc") < budget ||
+        (col("hc") < 2L * budget &&
+          pmod(xxhash64(col("host")), lit(spreadPeriod.toLong)) ===
+            lit((wave % spreadPeriod).toLong)))
+    val recutCond = col("fp").isNotNull && col("hc") > 2L * M
+
+    // 3. head write, spill write and the accounting materialization are
+    // INDEPENDENT jobs over cached inputs — submitted concurrently
+    val (nNeedy, nRecut) = locally {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext = Frontier.stateWriteEc
       val fHead = Future {
         val t = System.nanoTime()
-        // narrow coalesce: the union doubles partition count; halve it
-        // back so the head dir keeps ~one file per core
-        keepHead.unionByName(freshHead)
-          .coalesce(spark.sparkContext.defaultParallelism)
-          .write.mode("overwrite").parquet(headDir(wave))
+        writeHead(headRows)
         if (debug) System.err.println(
           f"[frontier]     fHead: ${(System.nanoTime() - t) / 1e9}%.2fs")
       }
       val fSpill = Future {
         val t = System.nanoTime()
-        // banded like the compacted base — but ONLY when this wave's
-        // spill is big enough for bands to carry real mass: every
-        // (bucket, band) dir costs a fixed create+commit, so a small
-        // delta collapses into band 0, which phase-A refills always
-        // read anyway (a superset read never breaks the settled test —
-        // unread rows still live strictly above band 0). The big
-        // deltas (a seed-queue cut) and every compacted base stay
-        // fully banded.
-        // cut waves (!hasFences — the giant seed-queue trim) always
-        // band: their spill IS the deep backlog later refills must
-        // band-prune; steady-state deltas band only above ~5k rows/dir
-        // (schedSpill is empty once every host is fenced, so nFresh
-        // bounds the steady spill)
-        val bandIt = !hasFences || nFresh > 5000L * cfg.backlogBuckets * (MaxBand + 1)
-        schedSpill.unionByName(freshSpill)
-          .withColumn("bkb", if (bandIt) bkbCol else bucketCol * lit(MaxBand + 1))
-          .repartition(col("bkb")) // one file per (bucket, band) dir
-          .write.partitionBy("bkb").mode("overwrite").parquet(spillDir(wave))
+        writeSpill(spillRows)
         if (debug) System.err.println(
           f"[frontier]     fSpill: ${(System.nanoTime() - t) / 1e9}%.2fs")
       }
+      val fInfo = Future {
+        val r = info.agg(
+          sum(when(needyCond, 1L).otherwise(0L)),
+          sum(when(recutCond, 1L).otherwise(0L))).head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
       Await.result(fHead, Duration.Inf)
       Await.result(fSpill, Duration.Inf)
+      Await.result(fInfo, Duration.Inf)
     }
-    sub("head+spill writes (concurrent)")
+    sub("head+spill writes + accounting (concurrent)")
 
-    // fence accounting from the written state + the in-memory fence sets
-    val spilledCounts = readDest(spillDir(wave))
-      .groupBy("host").agg(count(lit(1)).as("spilled"))
-    val headCounts = readDest(headDir(wave))
-      .groupBy("host").agg(count(lit(1)).as("hc"))
-    val fence2Base =
-      if (hasFences) fenceRoute.join(fencePrev.select(col("host"), col("bn")), Seq("host"), "left")
-      else fenceRoute.withColumn("bn", lit(0L))
-    val fence2 = fence2Base
-      .join(spilledCounts, Seq("host"), "full_outer")
-      .select(col("host"), col("fp"), col("fs"),
-        (coalesce(col("bn"), lit(0L)) + coalesce(col("spilled"), lit(0L))).as("bn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 5. epoch'd per-host re-cut — rare; zero extra work when no host
+    // overgrew (the common case: nRecut == 0 skips everything)
+    var recutRows: DataFrame = emptyFence
+    var recutPersists: List[DataFrame] = Nil
+    if (nRecut > 0) {
+      val recutHosts = info.filter(recutCond)
+        .select(col("host"), col("fp"), col("fs"), col("epoch"), bucketCol.as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      recutPersists ::= recutHosts
+      // salted two-phase top-M over the overgrown heads — these are by
+      // definition the adversarial hot hosts, exactly where salt matters
+      val wSaltR = Window
+        .partitionBy(col("host"), pmod(hash(col("surt_key")), lit(cfg.salt)))
+        .orderBy(col("priority"), col("surt_key"))
+      val hr = headRows.join(recutHosts.select("host"), Seq("host"), "inner")
+        .select(pcols.map(col): _*)
+      val rp1 = hr.withColumn("rn1", row_number().over(wSaltR))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      recutPersists ::= rp1
+      val rRanked = rp1.filter(col("rn1") <= M).drop("rn1")
+        .withColumn("rk", row_number().over(wHost))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      recutPersists ::= rRanked
+      val keepR = rRanked.filter(col("rk") <= M).select(pcols.map(col): _*)
+      val spillHeadR = rRanked.filter(col("rk") > M).select(pcols.map(col): _*)
+        .unionByName(rp1.filter(col("rn1") > M).select(pcols.map(col): _*))
+      val newFenceR = rRanked.filter(col("rk") === M)
+        .select(col("host"), col("priority").as("rfp"), col("surt_key").as("rfs"))
+      // the hosts' live backlog: committed dirs (epoch-filtered) plus
+      // this wave's spill for them taken from the CACHED frame — the
+      // dir about to be overwritten is never read
+      val rBuckets = recutHosts.select("bucket").distinct().as[Int].collect().toSet
+      val oldDirs = backlogBucketDirs(wave, rBuckets, excludeDir = Some(spillDir(wave)))
+      val oldRaw =
+        if (oldDirs.isEmpty) emptyBacklog
+        else spark.read.schema(BacklogSchema)
+          .option("recursiveFileLookup", "true").parquet(oldDirs: _*)
+      val liveOld = oldRaw
+        .join(recutHosts.select(col("host"), col("fp"), col("fs"),
+          col("epoch").as("__fe")), Seq("host"), "inner")
+        .filter(aboveFence && coalesce(col("epoch"), lit(0)) === col("__fe"))
+        .select(pcols.map(col): _*)
+      val liveNew = spillRows.join(recutHosts.select("host"), Seq("host"), "inner")
+        .select(pcols.map(col): _*)
+      val reTag = recutHosts.select(col("host"), (col("epoch") + 1).as("nep"))
+      val recutSpill = spillHeadR.unionByName(liveOld).unionByName(liveNew)
+        .join(reTag, Seq("host"))
+        .withColumn("epoch", col("nep")).drop("nep")
+        .select(bcols.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      recutPersists ::= recutSpill
+      recutSpill.count() // materialize before any dir is overwritten
+      // v2 state: the initial writes minus the re-cut hosts' rows plus
+      // the re-cut outcome — a double write bounded by the wave's own
+      // state size, paid only on the rare adversarial wave
+      writeHead(headRows.join(recutHosts.select("host"), Seq("host"), "left_anti")
+        .unionByName(keepR))
+      writeSpill(spillRows.join(recutHosts.select("host"), Seq("host"), "left_anti")
+        .unionByName(recutSpill))
+      val recutCounts = recutSpill.groupBy("host").agg(count(lit(1)).as("rbn"))
+      recutRows = recutHosts.select(col("host"), (col("epoch") + 1).as("epoch"))
+        .join(newFenceR, Seq("host"))
+        .join(recutCounts, Seq("host"), "left")
+        .select(col("host"), col("rfp").as("fp"), col("rfs").as("fs"),
+          coalesce(col("rbn"), lit(0L)).as("bn"), col("epoch"))
+      sub("epoch re-cut")
+    }
 
-    // 4. refill: needy = live backlog and head below the politeness budget
-    val needy = fence2
-      .join(headCounts, Seq("host"), "left")
-      .select(col("host"), col("fp"), col("fs"), col("bn"),
-        coalesce(col("hc"), lit(0L)).as("hc"))
-      .filter(col("bn") > 0 && col("hc") < cfg.hostBudget)
-      .withColumn("deficit", lit(M.toLong) - col("hc"))
-      .withColumn("bucket", bucketCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var rlOpt: Option[DataFrame] = None
-    var rlBOpt: Option[DataFrame] = None
-    var settledOpt: Option[DataFrame] = None
-    var needyBOpt: Option[DataFrame] = None
-    // provably-empty shortcut: with no pre-existing fences, only hosts
-    // that spilled THIS wave have bn > 0, and such a host kept ranks
-    // (k_eff, M] in its head — at least M − hostBudget ≥ hostBudget
-    // rows when headMult ≥ 2 — so it cannot be needy. Skips the probe
-    // job on every fence-free wave.
-    val needyEmpty =
-      if (!hasFences && cfg.headMult >= 2) true
-      else needy.isEmpty
-    sub("fence2+needy")
-    val fenceFinal =
-      if (needyEmpty) fence2
-      else {
-        // TWO-PHASE BANDED REFILL. Phase A reads the needy buckets'
-        // spill DELTAS (recent, small, unbanded) plus only the BAND-0
-        // slice of the compacted base. A host is settled by phase A
-        // when it yields its full deficit AND the worst taken row's
-        // priority stays strictly inside band 0 — every unread base
-        // row then has a strictly higher priority, so the taken set
-        // provably equals the global per-host top-deficit. Hosts that
-        // fail the test re-read all bands (phase B) — rare, and cheap
-        // exactly when the queue is shallow. Net effect: a refill
-        // costs O(taken + band-0 slice), not a rescan of the host's
-        // whole deep queue.
-        val buckets = needy.select("bucket").distinct().as[Int].collect().toSet
-        def liveRanked(dirs: Seq[String], who: DataFrame): DataFrame = {
-          val raw =
-            if (dirs.isEmpty) emptyPending
-            else spark.read.schema(PendingSchema)
-              .option("recursiveFileLookup", "true").parquet(dirs: _*)
-          raw.join(who.select(col("host"), col("fp"), col("fs"), col("deficit")),
-              Seq("host"), "inner")
-            .filter(aboveFence) // strictly above: stale refill copies drop out
-            .withColumn("rk", row_number().over(wHost))
-        }
-        val rlA = liveRanked(backlogBucketDirs(wave, buckets, bandZeroOnly = true), needy)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rlOpt = Some(rlA)
-        // per-host phase-A outcome: settled iff deficit met inside band 0
-        val aAgg = rlA.groupBy("host").agg(
-          sum(when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("takenA"),
-          max(when(col("rk") <= col("deficit"), col("priority"))).as("worstA"))
-        val settled = needy.join(aAgg, Seq("host"), "left")
-          .select(col("host"), col("deficit"),
-            (coalesce(col("takenA"), lit(0L)) === col("deficit") &&
-              col("worstA") < BandWidth).as("ok"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        settledOpt = Some(settled)
-        val needyB = needy.join(settled.filter(!col("ok")).select("host"), Seq("host"), "inner")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        needyBOpt = Some(needyB)
-        val anyB = !needyB.isEmpty
-        val takenARows = rlA
-          .join(settled.filter(col("ok")).select("host"), Seq("host"), "inner")
-          .filter(col("rk") <= col("deficit"))
-          .select(pcols.map(col): _*)
-        val (takenBRows, bAgg) =
-          if (!anyB) (emptyPending, None)
-          else {
-            val bBuckets = needyB.select("bucket").distinct().as[Int].collect().toSet
-            val rlB = liveRanked(backlogBucketDirs(wave, bBuckets), needyB)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            rlBOpt = Some(rlB)
-            val agg = rlB.groupBy("host").agg(
-              count(lit(1)).as("liveCnt"),
-              sum(when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("takenCnt"),
-              max(when(col("rk") <= col("deficit"),
-                struct(col("priority").as("p"), col("surt_key").as("s")))).as("mx"))
-            (rlB.filter(col("rk") <= col("deficit")).select(pcols.map(col): _*), Some(agg))
-          }
-        // refilled rows APPEND to the head partition (this wave's dir
-        // was cleared above, so only this run's files exist)
-        takenARows.unionByName(takenBRows)
-          .write.mode("overwrite").parquet(headDir(wave) + "/refill")
-        // fence/bn updates: settled hosts advance arithmetically (bn
-        // was exact, deficit rows left); phase-B hosts resync from the
-        // rows actually read — exact even if a compaction physically
-        // dropped dead rows
-        val aFence = rlA
-          .join(settled.filter(col("ok")).select("host"), Seq("host"), "inner")
-          .filter(col("rk") <= col("deficit"))
-          .groupBy("host").agg(
-            count(lit(1)).as("takenCntA"),
-            max(struct(col("priority").as("p"), col("surt_key").as("s"))).as("mxA"))
-        val withA = fence2.join(aFence, Seq("host"), "left")
-          .select(col("host"),
-            when(col("takenCntA").isNotNull, col("mxA.p")).otherwise(col("fp")).as("fp"),
-            when(col("takenCntA").isNotNull, col("mxA.s")).otherwise(col("fs")).as("fs"),
-            when(col("takenCntA").isNotNull, col("bn") - col("takenCntA"))
-              .otherwise(col("bn")).as("bn"))
-        bAgg match {
-          case None => withA
-          case Some(agg) =>
-            val adj = needyB.select(col("host"), lit(true).as("isNeedy"))
-              .join(agg, Seq("host"), "left")
-            withA.join(adj, Seq("host"), "left")
-              .select(col("host"),
-                when(col("takenCnt").isNotNull && col("takenCnt") > 0, col("mx.p"))
-                  .otherwise(col("fp")).as("fp"),
-                when(col("takenCnt").isNotNull && col("takenCnt") > 0, col("mx.s"))
-                  .otherwise(col("fs")).as("fs"),
-                when(col("isNeedy"),
-                  coalesce(col("liveCnt"), lit(0L)) - coalesce(col("takenCnt"), lit(0L)))
-                  .otherwise(col("bn")).as("bn"))
-        }
+    // 4. refill — needy hosts only (the r4 full-fence-table chain is
+    // gone; `info` already scoped the candidates to this wave's work).
+    // TWO-PHASE BANDED read: phase A reads the needy buckets' spill
+    // deltas plus only the BAND-0 slice of the compacted base; a host
+    // settles there when its full deficit arrives with every taken
+    // priority strictly inside band 0 (all unread rows provably
+    // worse); the rest re-read their buckets whole (phase B).
+    var needyRows: DataFrame = emptyFence
+    var refillPersists: List[DataFrame] = Nil
+    if (nNeedy > 0) {
+      val needy = info.filter(needyCond)
+        .select(col("host"), col("fp"), col("fs"), col("epoch"), col("bn"),
+          (lit(M.toLong) - col("hc")).as("deficit"), bucketCol.as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      refillPersists ::= needy
+      val buckets = needy.select("bucket").distinct().as[Int].collect().toSet
+      def liveRanked(dirs: Seq[String], who: DataFrame): DataFrame = {
+        val raw =
+          if (dirs.isEmpty) emptyBacklog
+          else spark.read.schema(BacklogSchema)
+            .option("recursiveFileLookup", "true").parquet(dirs: _*)
+        raw.join(who.select(col("host"), col("fp"), col("fs"),
+            col("epoch").as("__fe"), col("deficit")), Seq("host"), "inner")
+          // strictly above the fence (stale refill copies drop out) AND
+          // of the host's current epoch (re-cut invalidation)
+          .filter(aboveFence && coalesce(col("epoch"), lit(0)) === col("__fe"))
+          .withColumn("rk", row_number().over(wHost))
       }
-    sub("refill")
-    val fenceObs = org.apache.spark.sql.Observation()
-    fenceFinal.select("host", "fp", "fs", "bn")
-      .observe(fenceObs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(dir("fence", s"wave=$wave"))
+      val rlA = liveRanked(backlogBucketDirs(wave, buckets, bandZeroOnly = true), needy)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      refillPersists ::= rlA
+      // per-host phase-A outcome: settled iff deficit met inside band 0
+      val aAgg = rlA.groupBy("host").agg(
+        sum(when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("takenA"),
+        max(when(col("rk") <= col("deficit"), col("priority"))).as("worstA"))
+      val settled = needy.join(aAgg, Seq("host"), "left")
+        .select(col("host"), col("deficit"),
+          (coalesce(col("takenA"), lit(0L)) === col("deficit") &&
+            col("worstA") < BandWidth).as("ok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      refillPersists ::= settled
+      val needyB = needy.join(settled.filter(!col("ok")).select("host"), Seq("host"), "inner")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      refillPersists ::= needyB
+      val anyB = !needyB.isEmpty
+      val takenARows = rlA
+        .join(settled.filter(col("ok")).select("host"), Seq("host"), "inner")
+        .filter(col("rk") <= col("deficit"))
+        .select(pcols.map(col): _*)
+      val (takenBRows, bAgg) =
+        if (!anyB) (emptyPending, None)
+        else {
+          val bBuckets = needyB.select("bucket").distinct().as[Int].collect().toSet
+          val rlB = liveRanked(backlogBucketDirs(wave, bBuckets), needyB)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          refillPersists ::= rlB
+          val agg = rlB.groupBy("host").agg(
+            count(lit(1)).as("liveCnt"),
+            sum(when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("takenCnt"),
+            max(when(col("rk") <= col("deficit"),
+              struct(col("priority").as("p"), col("surt_key").as("s")))).as("mx"))
+          (rlB.filter(col("rk") <= col("deficit")).select(pcols.map(col): _*), Some(agg))
+        }
+      // refilled rows APPEND to the head partition (a re-cut already
+      // rewrote the wave's head dir before this point; needy and
+      // re-cut host sets are provably disjoint)
+      takenARows.unionByName(takenBRows)
+        .write.mode("overwrite").parquet(headDir(wave) + "/refill")
+      // fence/bn updates for the NEEDY hosts only: settled hosts
+      // advance arithmetically (bn was exact, deficit rows left);
+      // phase-B hosts resync from the rows actually read — exact even
+      // if a compaction physically dropped dead rows
+      val aFence = rlA
+        .join(settled.filter(col("ok")).select("host"), Seq("host"), "inner")
+        .filter(col("rk") <= col("deficit"))
+        .groupBy("host").agg(
+          count(lit(1)).as("takenCntA"),
+          max(struct(col("priority").as("p"), col("surt_key").as("s"))).as("mxA"))
+      val withA = needy.join(aFence, Seq("host"), "left")
+        .select(col("host"),
+          when(col("takenCntA").isNotNull, col("mxA.p")).otherwise(col("fp")).as("fp"),
+          when(col("takenCntA").isNotNull, col("mxA.s")).otherwise(col("fs")).as("fs"),
+          when(col("takenCntA").isNotNull, col("bn") - col("takenCntA"))
+            .otherwise(col("bn")).as("bn"),
+          col("epoch"))
+      needyRows = bAgg match {
+        case None => withA
+        case Some(agg) =>
+          val adj = needyB.select(col("host"), lit(true).as("isNeedy"))
+            .join(agg, Seq("host"), "left")
+          withA.join(adj, Seq("host"), "left")
+            .select(col("host"),
+              when(col("takenCnt").isNotNull && col("takenCnt") > 0, col("mx.p"))
+                .otherwise(col("fp")).as("fp"),
+              when(col("takenCnt").isNotNull && col("takenCnt") > 0, col("mx.s"))
+                .otherwise(col("fs")).as("fs"),
+              when(col("isNeedy"),
+                coalesce(col("liveCnt"), lit(0L)) - coalesce(col("takenCnt"), lit(0L)))
+                .otherwise(col("bn")).as("bn"),
+              col("epoch"))
+      }
+      sub("refill")
+    }
+
+    // 6. the wave's fence DELTA: one row per touched / refilled /
+    // re-cut host; dormant and merely-draining hosts write nothing —
+    // the write is O(hosts-touched), never O(hosts-ever-spilled)
+    val deltaRows = info
+      .filter(col("touched") && !needyCond && !recutCond)
+      .select(col("host"), col("fp"), col("fs"), col("bn"), col("epoch"))
+      .unionByName(needyRows.select("host", "fp", "fs", "bn", "epoch"))
+      .unionByName(recutRows.select("host", "fp", "fs", "bn", "epoch"))
+    val deltaObs = org.apache.spark.sql.Observation()
+    deltaRows.observe(deltaObs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(dir("fence_delta", s"wave=$wave"))
+    cacheAdd(fenceWavesCache, wave)
+    sub("fence delta write")
     deleteMarker(s"FENCES-$wave.m")
-    if (fenceObs.get("n").asInstanceOf[Long] > 0L)
+    // fences are monotone: once any host is fenced the marker stays
+    if (hasFences || deltaObs.get("n").asInstanceOf[Long] > 0L)
       publishMarker(s"FENCES-$wave.m", "{}")
-    sub("fence write")
-    fence2.unpersist(blocking = false)
-    needy.unpersist(blocking = false)
-    rlOpt.foreach(_.unpersist(blocking = false))
-    rlBOpt.foreach(_.unpersist(blocking = false))
-    settledOpt.foreach(_.unpersist(blocking = false))
-    needyBOpt.foreach(_.unpersist(blocking = false))
+    fj.unpersist(blocking = false)
+    info.unpersist(blocking = false)
+    refillPersists.foreach(_.unpersist(blocking = false))
+    recutPersists.foreach(_.unpersist(blocking = false))
   }
 
   /** Seen-membership probe: the fresh (never-seen) subset of `urls`
@@ -1392,7 +1748,9 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     * read; valid for waves ≥ latestCommitted−1 (older head/fence dirs
     * are pruned). */
   def pendingDf(wave: Int): DataFrame =
-    headDf(wave).unionByName(backlogLive(wave, fenceDf(wave)))
+    headDf(wave).unionByName(
+      backlogLive(wave, fenceDf(wave))
+        .select("surt_key", "canonical_url", "host", "priority"))
   /** Per-host queue-head table as of `wave` (the rows wave+1's
     * scheduling actually consults). */
   def headTableDf(wave: Int): DataFrame = headDf(wave)
@@ -1404,6 +1762,11 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
 }
 
 object Frontier {
+
+  /** Driver-side FileSystem LIST/EXISTS calls issued by the frontier's
+    * cached listing helpers — test instrumentation: a steady wave must
+    * issue O(changed dirs), not O(all delta dirs × buckets). */
+  val fsListCount = new java.util.concurrent.atomic.AtomicLong
 
   /** Small shared pool for concurrent state-write job submission (the
     * jobs themselves run on the cluster; these threads only block on
@@ -1486,8 +1849,9 @@ object Frontier {
     * the relative path for the index. */
   private[frontier] def storeLevel(ckDir: String, wave: Int, shard: Int,
                                    bytes: Array[Byte], count: Int,
-                                   conf: org.apache.hadoop.conf.Configuration): String = {
-    val rel = f"wave=$wave/s$shard%05d-n$count%010d.lvl"
+                                   conf: org.apache.hadoop.conf.Configuration,
+                                   prefix: String = "s"): String = {
+    val rel = f"wave=$wave/$prefix$shard%05d-n$count%010d.lvl"
     val p = levelPath(ckDir, rel)
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p.getParent)

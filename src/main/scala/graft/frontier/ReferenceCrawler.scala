@@ -19,10 +19,42 @@ object ReferenceCrawler {
       case _ => None
     }
 
-  /** Replicates Frontier.runWave semantics sequentially. */
-  final class Sim(cfg: FrontierConfig) {
+  /** Replicates Frontier.runWave semantics sequentially. With a
+    * `robots` map (host → robots.txt body) it mirrors the engine's
+    * REAL-robots path — the SAME public parse/group/match functions
+    * (`Robots.parse`/`groupFor`/`isAllowed`) applied sequentially, and
+    * the crawl-delay budget shrink k_eff = min(budget, max(1,
+    * floor(waveWindowSec / delay))) — so group merging, longest-match
+    * precedence and delay pacing all have a sequential comparator, not
+    * only the synthetic hash rule. */
+  final class Sim(cfg: FrontierConfig, robots: Map[String, String] = Map.empty) {
     private val seen = mutable.HashSet.empty[String]
     private var pending = mutable.Map.empty[String, Entry] // surt → best entry
+    // parse ONCE per host, as the engine's checkpointed parse does
+    private val parsed: Map[String, (Seq[Robots.Rule], Option[Double])] =
+      robots.map { case (h, txt) =>
+        val g = Robots.groupFor(Robots.parse(txt), cfg.agent)
+        (h, (g.map(_.rules).getOrElse(Seq.empty), g.flatMap(_.crawlDelay)))
+      }
+    private def pathOf(url: String): String =
+      url.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "") match {
+        case "" => "/"
+        case p  => p
+      }
+    private def allowedBy(e: Entry): Boolean =
+      if (robots.nonEmpty)
+        parsed.get(e.host).forall { case (rules, _) =>
+          Robots.isAllowed(rules, pathOf(e.url)) }
+      else
+        !(java.lang.Math.floorMod(SeenFilter.hashKey(e.host), 5L) == 0L &&
+          e.url.contains("/private"))
+    private def kEff(host: String): Int =
+      if (robots.isEmpty) cfg.hostBudget
+      else parsed.get(host).flatMap(_._2) match {
+        case Some(d) => math.min(cfg.hostBudget,
+          math.max(1, math.floor(cfg.waveWindowSec / d).toInt))
+        case None => cfg.hostBudget
+      }
 
     def initialize(seedUrls: Seq[(String, Int)]): Unit = {
       for ((u, p) <- seedUrls; e <- canonEntry(u, p)) {
@@ -42,14 +74,12 @@ object ReferenceCrawler {
     def pendingCount: Int = pending.size
 
     def runWave(): Vector[(Entry, Int)] = {
-      // robots filter
-      val allowed = pending.values.filter { e =>
-        !(java.lang.Math.floorMod(SeenFilter.hashKey(e.host), 5L) == 0L &&
-          e.url.contains("/private"))
-      }.toVector
-      // per-host top-K by (priority, surt)
-      val scheduled = allowed.groupBy(_.host).toVector.flatMap { case (_, es) =>
-        es.sortBy(e => (e.priority, e.surtKey)).take(cfg.hostBudget).zipWithIndex
+      // robots filter (synthetic rule, or the parsed real-robots gate)
+      val allowed = pending.values.filter(allowedBy).toVector
+      // per-host top-k_eff by (priority, surt) — k_eff shrinks under a
+      // robots crawl-delay exactly as the engine's withKeff does
+      val scheduled = allowed.groupBy(_.host).toVector.flatMap { case (h, es) =>
+        es.sortBy(e => (e.priority, e.surtKey)).take(kEff(h)).zipWithIndex
           .map { case (e, i) => (e, i + 1) }
       }
       // discovery + dedup + state update
@@ -75,17 +105,31 @@ object ReferenceCrawler {
     }
   }
 
-  /** The same deterministic outlink generator as the engine. */
+  /** THE deterministic outlink generator — the engine's discovery UDF
+    * calls this very function (Frontier.discoverOutlinks), so parity
+    * can never drift on generator details.
+    *  - "zipf" (default): crawl-like skew — cube of uniform
+    *    concentrates hosts on low ids, priorities uniform in [0,100).
+    *  - "adversarial": a tiny host set emitting ALWAYS-BEST priorities
+    *    (0–2) — every discovered row beats any realistic fence and
+    *    routes to the head, the overgrowth shape the epoch'd per-host
+    *    re-cut exists for. */
   def outlinks(surt: String, cfg: FrontierConfig): Seq[(String, Int)] = {
     val h0 = SeenFilter.hashKey(surt + ":" + cfg.seed)
     (0 until cfg.outlinksPerUrl).map { i =>
       val h = SeenFilter.hashKey(surt + "#" + i)
-      val u = (java.lang.Math.floorMod(h, 1000000L)) / 1000000.0
-      val hostId = (cfg.hostPool * u * u * u).toInt
       val path = java.lang.Math.floorMod(h ^ h0, 100000L)
       val priv = if (java.lang.Math.floorMod(h, 7L) == 0L) "/private" else ""
-      (s"https://www.host$hostId.example.org$priv/p/$path?x=1",
-        java.lang.Math.floorMod(h, 100L).toInt)
+      if (cfg.outlinkMode == "adversarial") {
+        val hostId = java.lang.Math.floorMod(h, math.min(5, cfg.hostPool).toLong)
+        (s"https://www.host$hostId.example.org$priv/p/$path?x=1",
+          java.lang.Math.floorMod(h, 3L).toInt)
+      } else {
+        val u = (java.lang.Math.floorMod(h, 1000000L)) / 1000000.0
+        val hostId = (cfg.hostPool * u * u * u).toInt
+        (s"https://www.host$hostId.example.org$priv/p/$path?x=1",
+          java.lang.Math.floorMod(h, 100L).toInt)
+      }
     }
   }
 }

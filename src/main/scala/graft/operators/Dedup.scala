@@ -283,11 +283,21 @@ object Dedup {
       .distinct()
       .localCheckpoint()
 
-    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+    // Order-independent fingerprint over THREE independent aggregates
+    // (count, hash SUM, differently-salted hash XOR): a convergence
+    // false-positive now needs one edge-set pair to collide the sum and
+    // the xor of two unrelated hash functions simultaneously — the
+    // failure mode of a single hash-sum collision (silent early exit
+    // with split components) is gone without paying an O(E) anti-join
+    // per round.
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal, Long) = {
       val r = e.select(count(lit(1)),
         sum(xxhash64(col("a"), col("b"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
-      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        bit_xor(xxhash64(lit(0x9e3779b9L), col("b"), col("a")))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
 
     var fp = fingerprint(edges)

@@ -184,7 +184,7 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
     rmRec(Paths.get(cfg.checkpointDir, "scheduled", "wave=2"))
     rmRec(Paths.get(cfg.checkpointDir, "seen", "wave=2"))
     rmRec(Paths.get(cfg.checkpointDir, "maint", "wave=2"))
-    rmRec(Paths.get(cfg.checkpointDir, "fence", "wave=2"))
+    rmRec(Paths.get(cfg.checkpointDir, "fence_delta", "wave=2"))
 
     assert(f.latestCommittedWave() == 1)
     val redo = f.runWave()
@@ -320,7 +320,7 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
     rmRec(Paths.get(ckDir, "scheduled", "wave=6"))
     rmRec(Paths.get(ckDir, "seen", "wave=6"))
     rmRec(Paths.get(ckDir, "maint", "wave=6"))
-    rmRec(Paths.get(ckDir, "fence", "wave=6"))
+    rmRec(Paths.get(ckDir, "fence_delta", "wave=6"))
     assert(f.latestCommittedWave() == 5)
     val redo = f.runWave()
     assert(redo.wave == 6)
