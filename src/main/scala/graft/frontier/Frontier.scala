@@ -131,6 +131,12 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   // listStatus bumps `Frontier.fsListCount` (test instrumentation for
   // the O(changed-dirs) contract).
 
+  /** Per-instance count of real FileSystem list/exists calls issued by
+    * the cached listing helpers (the companion-level counter aggregates
+    * across instances; tests assert on THIS one to stay immune to
+    * suites running in parallel). */
+  private[frontier] val fsListOps = new java.util.concurrent.atomic.AtomicLong
+
   private val seenWavesCache = new java.util.concurrent.atomic.AtomicReference[Set[Int]](null)
   private val spillWavesCache = new java.util.concurrent.atomic.AtomicReference[Set[Int]](null)
   private val fenceWavesCache = new java.util.concurrent.atomic.AtomicReference[Set[Int]](null)
@@ -142,14 +148,14 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   private def listWaveDirs(root: String, sub: Option[String]): Set[Int] = {
     val p = new org.apache.hadoop.fs.Path(cfg.checkpointDir, root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    Frontier.fsListCount.incrementAndGet()
+    Frontier.fsListCount.incrementAndGet(); fsListOps.incrementAndGet()
     if (!fs.exists(p)) return Set.empty
     fs.listStatus(p).toSeq.flatMap { st =>
       st.getPath.getName.stripPrefix("wave=").toIntOption
         .filter(_ => st.getPath.getName.startsWith("wave="))
         .filter { _ =>
           sub.forall { s =>
-            Frontier.fsListCount.incrementAndGet()
+            Frontier.fsListCount.incrementAndGet(); fsListOps.incrementAndGet()
             fs.exists(new org.apache.hadoop.fs.Path(st.getPath, s))
           }
         }
@@ -508,9 +514,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       .collect()
       .map { case (s, rel) => (s, Seq(rel)) }
       .toMap
-    // atomic-enough index swap (see scaladoc)
+    // atomic-enough index swap (see scaladoc). NOTE: through the
+    // CHECKSUM fs, like writeIndex — the raw fs would strand the old
+    // `.INDEX.txt.crc` sidecar and every later checksummed read of the
+    // swapped index would fail; ChecksumFileSystem renames/deletes the
+    // sidecar together with the file.
     val p = indexFilePath(wave)
-    val fs = Frontier.rawFs(p, spark.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val sb = new StringBuilder
     sb.append(newShards).append('\n')
     newIdx.foreach { case (s, paths) =>
@@ -952,7 +962,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       val children = bucketDirCache.computeIfAbsent(d, { dd =>
         val p = new org.apache.hadoop.fs.Path(dd)
         val fs = p.getFileSystem(conf)
-        Frontier.fsListCount.incrementAndGet()
+        Frontier.fsListCount.incrementAndGet(); fsListOps.incrementAndGet()
         if (!fs.exists(p)) Nil
         else fs.listStatus(p).toSeq.flatMap { st =>
           val n = st.getPath.getName
@@ -1107,19 +1117,18 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         min("canonical_url").as("canonical_url"), min("host").as("host"))
       .select("surt_key", "canonical_url", "host", "priority")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Await
     import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext = Frontier.stateWriteEc
     val obs = org.apache.spark.sql.Observation()
-    val fSeen = Future {
+    val fSeen = Frontier.guarded {
       canon.select("surt_key").observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(dir("seen", "wave=0"))
     }
-    val fShards = Future {
+    val fShards = Frontier.guarded {
       writeIndex(0, updateShardFiles(Map.empty, canon.select("surt_key"), 0))
     }
     val headObs = org.apache.spark.sql.Observation()
-    val fState = Future {
+    val fState = Frontier.guarded {
       // LAZY head split: the ENTIRE allowed seed set becomes the head
       // — no window, no shuffle, a straight filtered write. Wave 1's
       // schedule window (which must sort the head anyway) performs the
@@ -1274,11 +1283,9 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // are submitted CONCURRENTLY. Crash consistency is unaffected: any
     // subset of the writes is invisible until the manifest commits,
     // and a re-run overwrites everything idempotently.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Await
     import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext =
-      Frontier.stateWriteEc
-    val fSeen = Future {
+    val fSeen = Frontier.guarded {
       val t = System.nanoTime()
       // seen DELTA: persist only this wave's fresh keys (O(fresh) write)
       fresh.select("surt_key").write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
@@ -1286,7 +1293,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       if (debug) System.err.println(
         f"[frontier]     fSeen: ${(System.nanoTime() - t) / 1e9}%.2fs")
     }
-    val fShards = Future {
+    val fShards = Frontier.guarded {
       val t = System.nanoTime()
       // incremental shard maintenance: insert only this wave's fresh keys
       val updatedShards = updateShardFiles(prevIdx, fresh.select("surt_key"), wave)
@@ -1295,7 +1302,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         f"[frontier]     fShards: ${(System.nanoTime() - t) / 1e9}%.2fs")
       updatedShards
     }
-    val fState = Future {
+    val fState = Frontier.guarded {
       maintainFrontier(ranked, fencePrev, scheduled, fresh, wave, hasFences,
         nFresh, saltDropped)
     }
@@ -1477,7 +1484,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val headCounts = headRows.groupBy("host").agg(count(lit(1)).as("hc"))
     val spillCounts = spillRows.groupBy("host").agg(count(lit(1)).as("spilled"))
     val cand = schedPreGate.select("host").unionByName(fj.select("host")).distinct()
-    val info = cand
+    val info0 = cand
       .join(fencePrev.select(col("host"), col("fp").as("pfp"), col("fs").as("pfs"),
         col("bn").as("pbn"), col("epoch").as("pep")), Seq("host"), "left")
       .join(spillCounts, Seq("host"), "left")
@@ -1490,7 +1497,6 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         (coalesce(col("pbn"), lit(0L)) + coalesce(col("spilled"), lit(0L))).as("bn"),
         coalesce(col("hc"), lit(0L)).as("hc"),
         (col("spilled").isNotNull || col("nfp").isNotNull).as("touched"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deamortized refill trigger (see scaladoc step 4)
     val spreadPeriod = math.max(1, cfg.headMult - 1)
     val needyCond = col("fp").isNotNull && col("bn") > 0 && col("hc") < M &&
@@ -1501,28 +1507,41 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val recutCond = col("fp").isNotNull && col("hc") > 2L * M
 
     // 3. head write, spill write and the accounting materialization are
-    // INDEPENDENT jobs over cached inputs — submitted concurrently
-    val (nNeedy, nRecut) = locally {
-      import scala.concurrent.{Await, Future}
+    // INDEPENDENT jobs over cached inputs — submitted concurrently.
+    // `info` materializes via an EAGER localCheckpoint: besides caching
+    // the rows, it truncates the plan to a leaf. Every later step
+    // (refill, re-cut, fence delta) references `info` several times
+    // over, and each reference would otherwise embed the ENTIRE
+    // schedule/routing subtree again — plan TREES print subtrees per
+    // reference, so the per-job plan-description string (built
+    // unconditionally for the SQL listener event) grows exponentially
+    // in chain depth. r4 was immune by accident (it re-READ the written
+    // parquet for these counts — a plan barrier bought with extra
+    // jobs); the barrier is now explicit and job-free. The checkpoint
+    // blocks die with the wave's frames; a lost executor fails the
+    // wave, whose re-run is exact (writes invisible until commit).
+    val (info, nNeedy, nRecut) = locally {
+      import scala.concurrent.Await
       import scala.concurrent.duration.Duration
-      implicit val ec: scala.concurrent.ExecutionContext = Frontier.stateWriteEc
-      val fHead = Future {
+      val fHead = Frontier.guarded {
         val t = System.nanoTime()
         writeHead(headRows)
         if (debug) System.err.println(
           f"[frontier]     fHead: ${(System.nanoTime() - t) / 1e9}%.2fs")
       }
-      val fSpill = Future {
+      val fSpill = Frontier.guarded {
         val t = System.nanoTime()
         writeSpill(spillRows)
         if (debug) System.err.println(
           f"[frontier]     fSpill: ${(System.nanoTime() - t) / 1e9}%.2fs")
       }
-      val fInfo = Future {
-        val r = info.agg(
+      val fInfo = Frontier.guarded {
+        val ck = info0.localCheckpoint()
+        val r = ck.agg(
           sum(when(needyCond, 1L).otherwise(0L)),
           sum(when(recutCond, 1L).otherwise(0L))).head()
-        (if (r.isNullAt(0)) 0L else r.getLong(0),
+        (ck,
+          if (r.isNullAt(0)) 0L else r.getLong(0),
           if (r.isNullAt(1)) 0L else r.getLong(1))
       }
       Await.result(fHead, Duration.Inf)
@@ -1778,6 +1797,21 @@ object Frontier {
         t.setDaemon(true)
         t
       }))
+
+  /** Submit `body` on the state-write pool with a promise completed on
+    * ANY Throwable. `Future {}` treats VirtualMachineError as fatal and
+    * never completes its promise, so a driver-side OOM inside a state
+    * write would leave the wave's `Await.result(_, Inf)` parked forever
+    * — a silent crawl hang. A wave must fail LOUDLY instead: its writes
+    * are invisible until the commit manifest, so propagating the error
+    * is safe and a re-run reproduces the wave. */
+  private[frontier] def guarded[T](body: => T): scala.concurrent.Future[T] = {
+    val p = scala.concurrent.Promise[T]()
+    stateWriteEc.execute { () =>
+      try { p.success(body); () } catch { case t: Throwable => p.failure(t); () }
+    }
+    p.future
+  }
 
   /** `a < b` in Unicode CODE-POINT order — identical to UTF-8 binary
     * order (UTF-8 preserves code-point order), which is what Spark's

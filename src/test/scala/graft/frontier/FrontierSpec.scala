@@ -546,4 +546,112 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffleWrite < 1L * 1024 * 1024,
       s"probe shuffled $shuffleWrite bytes — O(seen) leak into the shuffle?")
   }
+
+  test("fence DELTA write is O(hosts-touched): dormant fenced hosts write no row") {
+    // r4 rewrote the FULL fence table every wave — O(hosts-ever-
+    // spilled). The delta store must instead write one row per host
+    // whose fence state changed THIS wave. Shape: a wide host universe
+    // gets fenced at the wave-1 lazy cut, then zipf discovery touches
+    // only the head-host subset — so some steady wave's delta must be
+    // far smaller than the fenced-host universe.
+    val cfg = FrontierConfig(checkpointDir = tmpDir("fencedelta"),
+      hostBudget = 2, headMult = 4, seenShards = 8, backlogBuckets = 8,
+      outlinksPerUrl = 2, hostPool = 400, compactEvery = 0)
+    val f = new Frontier(spark, cfg)
+    f.initialize(Frontier.syntheticSeeds(spark, 20000, hostPool = 400))
+    val deltas = (1 to 6).map { w =>
+      f.runWave()
+      spark.read.parquet(cfg.checkpointDir + s"/fence_delta/wave=$w").count()
+    }
+    val fenced = f.fenceTableDf(6).count()
+    assert(fenced > 200, s"universe never fenced ($fenced) — test shape broken")
+    assert(deltas.forall(_ >= 0) && deltas.exists(_ > 0))
+    val steady = deltas.drop(1).min
+    assert(steady * 2 <= fenced,
+      s"every wave's fence delta ($deltas) is O(fenced hosts = $fenced) — delta scheme not effective")
+    // latest-per-host view reconstruction: fence rows are unique per host
+    val v = f.fenceTableDf(6)
+    assert(v.groupBy("host").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).isEmpty,
+      "fence view has duplicate host rows")
+  }
+
+  test("adversarial discovery: every head stays ≤ 2×M across 20 waves (epoch'd per-host re-cut)") {
+    val cfg = FrontierConfig(checkpointDir = tmpDir("recut"),
+      hostBudget = 3, headMult = 2, seenShards = 8, backlogBuckets = 8,
+      outlinksPerUrl = 4, hostPool = 50, outlinkMode = "adversarial",
+      compactEvery = 6)
+    val f = new Frontier(spark, cfg)
+    f.initialize(Frontier.syntheticSeeds(spark, 1500, hostPool = 50))
+    val M = math.max(cfg.hostBudget, cfg.headMult * cfg.hostBudget)
+    for (w <- 1 to 20) {
+      f.runWave()
+      val mx = f.headTableDf(w).groupBy("host").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      assert(mx <= 2L * M, s"wave $w: a host's head grew past 2M ($mx > ${2 * M})")
+    }
+    // non-vacuous: the adversary actually forced epoch bumps
+    val maxEpoch = f.fenceTableDf(20)
+      .agg(org.apache.spark.sql.functions.max("epoch")).head().getInt(0)
+    assert(maxEpoch >= 1, "no re-cut ever triggered — adversarial shape broken")
+  }
+
+  test("seen reshard 8→32 mid-crawl: probes, schedules and membership identical; stale config fails loudly") {
+    import spark.implicits._
+    val base = FrontierConfig(checkpointDir = tmpDir("reshard-a"),
+      hostBudget = 4, seenShards = 8, outlinksPerUrl = 3, hostPool = 60)
+    val seeds = Frontier.syntheticSeeds(spark, 1500, hostPool = 60)
+    val fa = new Frontier(spark, base)
+    fa.initialize(seeds)
+    for (_ <- 1 to 3) fa.runWave()
+    // control crawl: identical, never resharded
+    val cfgB = base.copy(checkpointDir = tmpDir("reshard-b"))
+    val fb = new Frontier(spark, cfgB)
+    fb.initialize(seeds)
+    for (_ <- 1 to 3) fb.runWave()
+
+    val probe = Frontier.syntheticSeeds(spark, 500, seed = 99L, hostPool = 60)
+    val pre = fa.freshOnly(probe).select("surt_key").collect().map(_.getString(0)).toSet
+    fa.reshardSeen(32)
+    val fa2 = new Frontier(spark, base.copy(seenShards = 32))
+    val post = fa2.freshOnly(probe).select("surt_key").collect().map(_.getString(0)).toSet
+    assert(post == pre, "membership probe changed across reshard")
+
+    // crawl continues across the boundary, bit-identical to the control
+    for (w <- 4 to 5) {
+      fa2.runWave(); fb.runWave()
+      def sched(f: Frontier) = f.scheduledDf(w)
+        .select("surt_key", "priority", "rank_in_host").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toVector
+      assert(sched(fa2) == sched(fb), s"wave $w schedule diverged after reshard")
+    }
+    val sa = fa2.seenDf(5).collect().map(_.getString(0)).toSet
+    val sb = fb.seenDf(5).collect().map(_.getString(0)).toSet
+    assert(sa == sb, "seen membership diverged after reshard")
+
+    // an instance still configured with the OLD shard count must fail
+    // loudly, not read through the new index
+    val e = intercept[IllegalArgumentException] { new Frontier(spark, base).runWave() }
+    assert(e.getMessage.contains("seen shards"))
+  }
+
+  test("wave-loop driver listings are cached: per-wave FS list calls flat in crawl length") {
+    val cfg = FrontierConfig(checkpointDir = tmpDir("listcache"),
+      hostBudget = 3, headMult = 2, seenShards = 8, backlogBuckets = 8,
+      outlinksPerUrl = 3, hostPool = 60, compactEvery = 4)
+    val f = new Frontier(spark, cfg)
+    f.initialize(Frontier.syntheticSeeds(spark, 1500, hostPool = 60))
+    val deltas = (1 to 11).map { _ =>
+      val b = f.fsListOps.get(); f.runWave(); f.fsListOps.get() - b
+    }
+    // steady-state waves (not compaction waves 4/8) must not re-list
+    // every accumulated delta dir: per-wave listing work stays flat as
+    // the crawl grows, and bounded by O(changed dirs)
+    val early = Seq(deltas(4), deltas(5), deltas(6)).max // waves 5-7
+    val late = Seq(deltas(8), deltas(9), deltas(10)).max // waves 9-11
+    assert(late <= early + 8,
+      s"listing calls grew with crawl length: ${deltas.toList}")
+    assert(Seq(4, 5, 6, 8, 9, 10).map(deltas).forall(_ <= 64),
+      s"steady-wave listing calls not O(changed dirs): ${deltas.toList}")
+  }
 }
