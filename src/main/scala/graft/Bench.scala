@@ -190,6 +190,7 @@ object ScalingBench {
           val desc = Option(j.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .orElse(Option(j.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
+            .orElse(j.stageInfos.lastOption.map(_.name.take(120)))
             .getOrElse("?")
           starts.put(j.jobId, (System.nanoTime(), desc))
         }

@@ -77,6 +77,12 @@ final case class FrontierConfig(
       * write, per-partition metrics, state count reports) — semantics
       * unchanged. Defaults from the GRAFT_BENCH env for CLI runs. */
     fastMode: Boolean = sys.env.get("GRAFT_BENCH").contains("1"),
+    /** re-cut host-slice collect threshold: a wave re-cutting ≤ this
+      * many hosts builds its cut predicates and fence rows on the
+      * driver (one tiny collect replaces five broadcast-join driver
+      * jobs); beyond it the distributed join path runs instead. ~100 B
+      * per host of driver memory at the cap. */
+    recutCollectMax: Int = 20000,
     /** synthetic discovery shape: "zipf" (default crawl-like skew) or
       * "adversarial" (a tiny host set emitting always-best priorities —
       * the fenced-host head-overgrowth adversary the epoch'd re-cut
@@ -136,6 +142,11 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     * across instances; tests assert on THIS one to stay immune to
     * suites running in parallel). */
   private[frontier] val fsListOps = new java.util.concurrent.atomic.AtomicLong
+
+  /** Thread-local job description — makes GRAFT_JOBLOG attribution
+    * exact (broadcast-build jobs otherwise report opaque call sites). */
+  private def jd(label: String): Unit =
+    spark.sparkContext.setJobDescription(label)
 
   private val seenWavesCache = new java.util.concurrent.atomic.AtomicReference[Set[Int]](null)
   private val spillWavesCache = new java.util.concurrent.atomic.AtomicReference[Set[Int]](null)
@@ -816,7 +827,18 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("fs", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("bn", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("epoch", org.apache.spark.sql.types.IntegerType)))
+    org.apache.spark.sql.types.StructField("epoch", org.apache.spark.sql.types.IntegerType),
+    // rf: the host REFILLED within its current epoch — i.e. stale
+    // backlog copies of head rows may exist under this epoch. Gates
+    // the cheap (in-place fence-lowering) re-cut: with rf=false the
+    // epoch provably has NO copies, so lowering the fence resurrects
+    // nothing and the overgrown head's overflow spills as plain rows
+    // — no epoch bump, no backlog rewrite. rf resets on an epoch bump
+    // (old copies die by epoch mismatch).
+    org.apache.spark.sql.types.StructField("rf", org.apache.spark.sql.types.BooleanType),
+    // rc: number of re-cuts this host ever took (either path) —
+    // observability + test non-vacuity.
+    org.apache.spark.sql.types.StructField("rc", org.apache.spark.sql.types.IntegerType)))
 
   private def emptyFence: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FenceSchema)
@@ -872,9 +894,11 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       case ps =>
         ps.reduce(_ unionByName _)
           .groupBy("host")
-          .agg(max_by(struct(col("fp"), col("fs"), col("bn"), col("epoch")), col("__w")).as("s"))
+          .agg(max_by(struct(col("fp"), col("fs"), col("bn"), col("epoch"),
+            col("rf"), col("rc")), col("__w")).as("s"))
           .select(col("host"), col("s.fp").as("fp"), col("s.fs").as("fs"),
-            col("s.bn").as("bn"), col("s.epoch").as("epoch"))
+            col("s.bn").as("bn"), col("s.epoch").as("epoch"),
+            col("s.rf").as("rf"), col("s.rc").as("rc"))
     }
   }
 
@@ -1222,7 +1246,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val ranked = base.filter(col("fp").isNotNull)
       .unionByName(p1.filter(col("rn1") <= M).drop("rn1"))
       .withColumn("rank_in_host", row_number().over(w))
-      .join(cnts, Seq("host"), "left")
+      // broadcast keeps the big (windowed) side in ONE pipelined stage
+      // — a sort-merge join would put an AQE stage barrier + re-sort on
+      // every head row
+      .join(broadcast(cnts), Seq("host"), "left")
       .withColumn("has_next",
         coalesce(col("cnt") > col("rank_in_host"), lit(false)))
       .drop("cnt")
@@ -1246,36 +1273,45 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // with the reference comparator).
     val scheduled = applyRobots(scheduled0)
     val scheduledOut = if (fast) scheduled else scheduled.orderBy("priority", "host", "surt_key")
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    // 2. the schedule WRITE runs concurrently with discovery: both hang
+    // off the same cached `ranked` frame (whichever job arrives first
+    // materializes it; the other reuses the blocks) and neither reads
+    // the other's output — discovery feeds from the CACHED frame, not
+    // the written parquet (r4 fixed-cost item). The write is awaited
+    // before the wave's state block completes, well before commit.
     // count observed on the write job itself — no read-back count job
     val schedObs = org.apache.spark.sql.Observation()
-    scheduledOut.observe(schedObs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(dir("scheduled", s"wave=$wave"))
-    phase("schedule+write")
-
-    // per-partition lineage metrics (over the artifact just written)
-    if (!fast) {
-      spark.read.parquet(dir("scheduled", s"wave=$wave"))
-        .groupBy(spark_partition_id().as("partition_id"))
-        .agg(count(lit(1)).as("n_scheduled"), countDistinct(col("host")).as("n_hosts"))
-        .withColumn("wave", lit(wave))
-        .write.mode("overwrite").parquet(dir("metrics", s"wave=$wave"))
-      phase("metrics")
+    val fSched = Frontier.guarded {
+      jd(s"wave$wave:schedule")
+      val t = System.nanoTime()
+      scheduledOut.observe(schedObs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(dir("scheduled", s"wave=$wave"))
+      // per-partition lineage metrics (over the artifact just written)
+      if (!fast) {
+        spark.read.parquet(dir("scheduled", s"wave=$wave"))
+          .groupBy(spark_partition_id().as("partition_id"))
+          .agg(count(lit(1)).as("n_scheduled"), countDistinct(col("host")).as("n_hosts"))
+          .withColumn("wave", lit(wave))
+          .write.mode("overwrite").parquet(dir("metrics", s"wave=$wave"))
+      }
+      if (debug) System.err.println(
+        f"[frontier]     fSched: ${(System.nanoTime() - t) / 1e9}%.2fs")
     }
 
-    // 2+3. discover outlinks of the scheduled batch; canonicalize,
+    // 3. discover outlinks of the scheduled batch; canonicalize,
     // then dedup + seen-subtract in ONE shard-keyed shuffle (the
     // in-batch groupBy-min dedup is fused into the shard probe —
-    // subtractSeen). Discovery feeds from the CACHED schedule frame —
-    // the write-then-re-read round trip (listing + footer reads) of
-    // the scheduled parquet is gone (r4 fixed-cost item). `fresh`
-    // feeds the state updates below — persist so the discovery +
-    // subtraction DAG runs once.
+    // subtractSeen). `fresh` feeds the state updates below — persist
+    // so the discovery + subtraction DAG runs once.
     val discovered = canonicalized(discoverOutlinks(scheduled))
+    jd(s"wave$wave:discover")
     val fresh = subtractSeen(
       discovered.select("surt_key", "canonical_url", "host", "priority"), prevIdx)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nFresh = fresh.count()
-    phase("discover+subtract")
+    phase("discover+subtract (schedule write concurrent)")
 
     // 4. state updates. The three sinks (seen delta, shard files, and
     // the head/fence/backlog maintenance chain) all hang off the
@@ -1283,9 +1319,8 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // are submitted CONCURRENTLY. Crash consistency is unaffected: any
     // subset of the writes is invisible until the manifest commits,
     // and a re-run overwrites everything idempotently.
-    import scala.concurrent.Await
-    import scala.concurrent.duration.Duration
     val fSeen = Frontier.guarded {
+      jd("wave:seenDelta")
       val t = System.nanoTime()
       // seen DELTA: persist only this wave's fresh keys (O(fresh) write)
       fresh.select("surt_key").write.mode("overwrite").parquet(dir("seen", s"wave=$wave"))
@@ -1294,6 +1329,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         f"[frontier]     fSeen: ${(System.nanoTime() - t) / 1e9}%.2fs")
     }
     val fShards = Frontier.guarded {
+      jd("wave:shards")
       val t = System.nanoTime()
       // incremental shard maintenance: insert only this wave's fresh keys
       val updatedShards = updateShardFiles(prevIdx, fresh.select("surt_key"), wave)
@@ -1303,9 +1339,11 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       updatedShards
     }
     val fState = Frontier.guarded {
+      jd("wave:maint")
       maintainFrontier(ranked, fencePrev, scheduled, fresh, wave, hasFences,
         nFresh, saltDropped)
     }
+    Await.result(fSched, Duration.Inf)
     Await.result(fSeen, Duration.Inf)
     Await.result(fShards, Duration.Inf)
     Await.result(fState, Duration.Inf)
@@ -1459,9 +1497,12 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // banded like the compacted base — but ONLY when this wave's spill
     // is big enough for bands to carry real mass (per-dir create+commit
     // is a fixed cost; small deltas collapse into band 0, which phase-A
-    // refills always read anyway). Cut waves always band: their spill
-    // IS the deep backlog later refills must band-prune.
-    val bandIt = !hasFences || nFresh > 5000L * cfg.backlogBuckets * (MaxBand + 1)
+    // refills always read anyway — superset reads stay exact). The
+    // EXACT spill total comes back with the accounting aggregate, so
+    // the rule is volume-measured, not proxied: cut waves included (a
+    // 10^7-row seed cut bands; a 10^5-row one collapses to band 0 and
+    // dodges ~1000 per-dir commits).
+    var bandIt = true // assigned from the accounting aggregate below
     def writeSpill(rows: DataFrame): Unit = {
       rows.withColumn("bkb", if (bandIt) bkbCol else bucketCol * lit(MaxBand + 1))
         .repartition(col("bkb")) // one file per (bucket, band) dir
@@ -1481,22 +1522,38 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // superset) or receiving rows — with prior fence state, this
     // wave's spill count and pre-refill head count. Everything the
     // needy/re-cut decisions and the fence delta need, O(wave work).
-    val headCounts = headRows.groupBy("host").agg(count(lit(1)).as("hc"))
-    val spillCounts = spillRows.groupBy("host").agg(count(lit(1)).as("spilled"))
-    val cand = schedPreGate.select("host").unionByName(fj.select("host")).distinct()
-    val info0 = cand
-      .join(fencePrev.select(col("host"), col("fp").as("pfp"), col("fs").as("pfs"),
-        col("bn").as("pbn"), col("epoch").as("pep")), Seq("host"), "left")
-      .join(spillCounts, Seq("host"), "left")
+    // ONE union-aggregate instead of two count shuffles + a distinct +
+    // four joins: every broadcast join in this chain was a separate
+    // driver job (the broadcast build executes its agg subplan), and
+    // the ~6-job serial chain dominated the wave's fixed cost. The
+    // union carries tag columns; a single host-keyed hash-agg yields
+    // head count, spill count and the first-spill fence in one
+    // shuffle, leaving exactly one small join (the prior fence view).
+    // pure-sum aggregate — stays a pipelined HashAggregate (a struct
+    // max in here would demote the whole 3-way union to a
+    // SortAggregate over every head+spill row); the tiny first-fence
+    // slice and the prior fence view broadcast-join onto the result
+    val stats = headRows.select(col("host"), lit(1L).as("hc1"), lit(0L).as("sp1"))
+      .unionByName(spillRows.select(col("host"), lit(0L).as("hc1"), lit(1L).as("sp1")))
+      .unionByName(schedPreGate.select(col("host"), lit(0L).as("hc1"), lit(0L).as("sp1")))
+      .groupBy("host")
+      .agg(sum(col("hc1")).as("hc"), sum(col("sp1")).as("spilled"))
+    // no broadcast hints: at 10^8 fenced hosts neither side may be
+    // forced into the driver; Spark's stats pick BHJ at small scale
+    val info0 = stats
       .join(schedFence, Seq("host"), "left")
-      .join(headCounts, Seq("host"), "left")
+      .join(fencePrev.select(col("host"), col("fp").as("pfp"),
+        col("fs").as("pfs"), col("bn").as("pbn"), col("epoch").as("pep"),
+        col("rf").as("prf"), col("rc").as("prc")), Seq("host"), "left")
       .select(col("host"),
         coalesce(col("nfp"), col("pfp")).as("fp"),
         coalesce(col("nfs"), col("pfs")).as("fs"),
         coalesce(col("pep"), lit(0)).as("epoch"),
-        (coalesce(col("pbn"), lit(0L)) + coalesce(col("spilled"), lit(0L))).as("bn"),
-        coalesce(col("hc"), lit(0L)).as("hc"),
-        (col("spilled").isNotNull || col("nfp").isNotNull).as("touched"))
+        coalesce(col("prf"), lit(false)).as("rf"),
+        coalesce(col("prc"), lit(0)).as("rc"),
+        (coalesce(col("pbn"), lit(0L)) + col("spilled")).as("bn"),
+        col("hc"), col("spilled"),
+        (col("spilled") > 0L || col("nfp").isNotNull).as("touched"))
     // deamortized refill trigger (see scaladoc step 4)
     val spreadPeriod = math.max(1, cfg.headMult - 1)
     val needyCond = col("fp").isNotNull && col("bn") > 0 && col("hc") < M &&
@@ -1506,66 +1563,77 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
             lit((wave % spreadPeriod).toLong)))
     val recutCond = col("fp").isNotNull && col("hc") > 2L * M
 
-    // 3. head write, spill write and the accounting materialization are
-    // INDEPENDENT jobs over cached inputs — submitted concurrently.
-    // `info` materializes via an EAGER localCheckpoint: besides caching
-    // the rows, it truncates the plan to a leaf. Every later step
-    // (refill, re-cut, fence delta) references `info` several times
-    // over, and each reference would otherwise embed the ENTIRE
+    // 3. accounting FIRST (one job): the re-cut decision must fold
+    // into the head/spill frames BEFORE they are written — deciding
+    // after the writes means rewriting both dirs on every overgrowth
+    // wave (a steady Zipf crawl overgrows its hottest hosts most
+    // waves, so that double write was a per-wave cost, not a rare
+    // one). `info` materializes via an EAGER localCheckpoint: besides
+    // caching the rows, it truncates the plan to a leaf. Every later
+    // step (refill, re-cut, fence delta) references `info` several
+    // times over, and each reference would otherwise embed the ENTIRE
     // schedule/routing subtree again — plan TREES print subtrees per
     // reference, so the per-job plan-description string (built
     // unconditionally for the SQL listener event) grows exponentially
-    // in chain depth. r4 was immune by accident (it re-READ the written
-    // parquet for these counts — a plan barrier bought with extra
-    // jobs); the barrier is now explicit and job-free. The checkpoint
-    // blocks die with the wave's frames; a lost executor fails the
-    // wave, whose re-run is exact (writes invisible until commit).
-    val (info, nNeedy, nRecut) = locally {
-      import scala.concurrent.Await
-      import scala.concurrent.duration.Duration
-      val fHead = Frontier.guarded {
-        val t = System.nanoTime()
-        writeHead(headRows)
-        if (debug) System.err.println(
-          f"[frontier]     fHead: ${(System.nanoTime() - t) / 1e9}%.2fs")
-      }
-      val fSpill = Frontier.guarded {
-        val t = System.nanoTime()
-        writeSpill(spillRows)
-        if (debug) System.err.println(
-          f"[frontier]     fSpill: ${(System.nanoTime() - t) / 1e9}%.2fs")
-      }
-      val fInfo = Frontier.guarded {
-        val ck = info0.localCheckpoint()
-        val r = ck.agg(
-          sum(when(needyCond, 1L).otherwise(0L)),
-          sum(when(recutCond, 1L).otherwise(0L))).head()
-        (ck,
-          if (r.isNullAt(0)) 0L else r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
-      Await.result(fHead, Duration.Inf)
-      Await.result(fSpill, Duration.Inf)
-      Await.result(fInfo, Duration.Inf)
+    // in chain depth. The checkpoint blocks die with the wave's
+    // frames; a lost executor fails the wave, whose re-run is exact
+    // (writes invisible until commit).
+    val (info, nNeedy, nRecut, nRecutEpoch) = locally {
+      jd("maint:accounting")
+      val ck = info0.localCheckpoint()
+      val r = ck.agg(
+        sum(when(needyCond, 1L).otherwise(0L)),
+        sum(when(recutCond, 1L).otherwise(0L)),
+        sum(when(recutCond && col("rf"), 1L).otherwise(0L)),
+        sum(col("spilled"))).head()
+      bandIt = (if (r.isNullAt(3)) 0L else r.getLong(3)) >
+        5000L * cfg.backlogBuckets * (MaxBand + 1)
+      (ck,
+        if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    sub("head+spill writes + accounting (concurrent)")
+    sub("accounting")
 
-    // 5. epoch'd per-host re-cut — rare; zero extra work when no host
-    // overgrew (the common case: nRecut == 0 skips everything)
+    // 5. epoch'd / in-place per-host RE-CUT, folded into the frames
+    // before any write. A host whose head exceeded 2×M is cut back to
+    // its true top-M (salted two-phase window over the cached head
+    // frame — overgrown hosts are by definition the hot hosts, exactly
+    // where salt matters) and its fence moves DOWN to the new rank-M
+    // boundary. Two prices, chosen per host by `rf`:
+    //  - CHEAP (rf=false — the host never refilled in its current
+    //    epoch): the epoch provably holds NO stale backlog copies, so
+    //    the lowered fence can resurrect nothing; the overflow spills
+    //    as plain current-epoch rows and bn grows by exactly that
+    //    count. O(overflow). The common case — a Zipf-hot host keeps
+    //    receiving better-than-fence rows and never drains enough to
+    //    refill.
+    //  - EPOCH BUMP (rf=true — refill copies may sit in (newFence,
+    //    oldFence]): the host's live backlog is rewritten under
+    //    epoch+1 together with the overflow; every older row dies by
+    //    epoch mismatch. O(that host's backlog), rare — needs
+    //    refill-then-flood within one epoch.
     var recutRows: DataFrame = emptyFence
     var recutPersists: List[DataFrame] = Nil
-    if (nRecut > 0) {
-      val recutHosts = info.filter(recutCond)
-        .select(col("host"), col("fp"), col("fs"), col("epoch"), bucketCol.as("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      recutPersists ::= recutHosts
-      // salted two-phase top-M over the overgrown heads — these are by
-      // definition the adversarial hot hosts, exactly where salt matters
+    var headFinal = headRows
+    var spillFinal = spillRows
+    if (nRecut > 0 && nRecut <= cfg.recutCollectMax) {
+      // DRIVER-LITERAL path (the norm — re-cut hosts are the few Zipf-
+      // hot heads of a wave): one tiny collect off the checkpointed
+      // accounting leaf replaces five broadcast joins, each of which
+      // was a separate serial driver job. Host predicates become
+      // InSet literals, per-host epochs a map literal, and the fence
+      // delta rows are built ON the driver with zero lineage — the
+      // overflow count needs no job at all (it is exactly hc − M).
+      val rws = info.filter(recutCond)
+        .select("host", "fp", "fs", "epoch", "rf", "rc", "bn", "hc").collect()
+      val allHosts = rws.map(_.getString(0)).toSeq
+      val cheapR = rws.filter(!_.getBoolean(4))
+      val expR = rws.filter(_.getBoolean(4))
       val wSaltR = Window
         .partitionBy(col("host"), pmod(hash(col("surt_key")), lit(cfg.salt)))
         .orderBy(col("priority"), col("surt_key"))
-      val hr = headRows.join(recutHosts.select("host"), Seq("host"), "inner")
-        .select(pcols.map(col): _*)
+      val hr = headRows.filter(col("host").isin(allHosts: _*))
       val rp1 = hr.withColumn("rn1", row_number().over(wSaltR))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       recutPersists ::= rp1
@@ -1574,49 +1642,227 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       recutPersists ::= rRanked
       val keepR = rRanked.filter(col("rk") <= M).select(pcols.map(col): _*)
-      val spillHeadR = rRanked.filter(col("rk") > M).select(pcols.map(col): _*)
+      val overflowR = rRanked.filter(col("rk") > M).select(pcols.map(col): _*)
         .unionByName(rp1.filter(col("rn1") > M).select(pcols.map(col): _*))
       val newFenceR = rRanked.filter(col("rk") === M)
         .select(col("host"), col("priority").as("rfp"), col("surt_key").as("rfs"))
-      // the hosts' live backlog: committed dirs (epoch-filtered) plus
-      // this wave's spill for them taken from the CACHED frame — the
-      // dir about to be overwritten is never read
-      val rBuckets = recutHosts.select("bucket").distinct().as[Int].collect().toSet
-      val oldDirs = backlogBucketDirs(wave, rBuckets, excludeDir = Some(spillDir(wave)))
-      val oldRaw =
-        if (oldDirs.isEmpty) emptyBacklog
-        else spark.read.schema(BacklogSchema)
-          .option("recursiveFileLookup", "true").parquet(oldDirs: _*)
-      val liveOld = oldRaw
-        .join(recutHosts.select(col("host"), col("fp"), col("fs"),
-          col("epoch").as("__fe")), Seq("host"), "inner")
-        .filter(aboveFence && coalesce(col("epoch"), lit(0)) === col("__fe"))
-        .select(pcols.map(col): _*)
-      val liveNew = spillRows.join(recutHosts.select("host"), Seq("host"), "inner")
-        .select(pcols.map(col): _*)
-      val reTag = recutHosts.select(col("host"), (col("epoch") + 1).as("nep"))
-      val recutSpill = spillHeadR.unionByName(liveOld).unionByName(liveNew)
-        .join(reTag, Seq("host"))
+      val epochByHost = rws.map(r => r.getString(0) ->
+        (if (r.getBoolean(4)) r.getInt(3) + 1 else r.getInt(3))).toMap
+      val spillRecut = overflowR
+        .withColumn("epoch",
+          element_at(typedlit(epochByHost), col("host")))
+        .select(bcols.map(col): _*)
+      var spillEpoch: DataFrame = emptyBacklog
+      var epochCnt = Map.empty[String, Long]
+      if (expR.nonEmpty) {
+        // EPOCH path (rare): the hosts' live backlog — committed dirs
+        // (this wave's spill dir does not exist yet) plus this wave's
+        // routed spill for them from the CACHED frame — is rewritten
+        // under epoch+1; one recount collect yields the new bn.
+        val expHosts = expR.map(_.getString(0)).toSeq
+        // bucket ids via the engine's own hash expression (exactness:
+        // never re-derive the bucketing function on the driver)
+        val bucketsOf = spark.createDataFrame(
+            spark.sparkContext.parallelize(expR.map(r =>
+              org.apache.spark.sql.Row(r.getString(0))).toSeq, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("host",
+                org.apache.spark.sql.types.StringType))))
+          .select(bucketCol.as("b")).collect().map(_.getInt(0)).toSet
+        val oldDirs = backlogBucketDirs(wave, bucketsOf)
+        val oldRaw =
+          if (oldDirs.isEmpty) emptyBacklog
+          else spark.read.schema(BacklogSchema)
+            .option("recursiveFileLookup", "true").parquet(oldDirs: _*)
+        val fenceOf = typedlit(expR.map(r => r.getString(0) ->
+          ((r.getInt(1), r.getString(2), r.getInt(3)))).toMap)
+        val liveOld = oldRaw.filter(col("host").isin(expHosts: _*))
+          .withColumn("__f", element_at(fenceOf, col("host")))
+          .filter((col("priority") > col("__f._1") ||
+              (col("priority") === col("__f._1") && col("surt_key") > col("__f._2"))) &&
+            coalesce(col("epoch"), lit(0)) === col("__f._3"))
+          .select(pcols.map(col): _*)
+        val liveNew = spillRows.filter(col("host").isin(expHosts: _*))
+          .select(pcols.map(col): _*)
+        val nep = typedlit(expR.map(r => r.getString(0) -> (r.getInt(3) + 1)).toMap)
+        spillEpoch = liveOld.unionByName(liveNew)
+          .withColumn("epoch", element_at(nep, col("host")))
+          .select(bcols.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        recutPersists ::= spillEpoch
+        epochCnt = spillEpoch.groupBy("host").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      headFinal = headRows.filter(!col("host").isin(allHosts: _*))
+        .unionByName(keepR)
+      spillFinal = (if (expR.nonEmpty)
+          spillRows.filter(!col("host").isin(expR.map(_.getString(0)).toSeq: _*))
+        else spillRows)
+        .unionByName(spillRecut).unionByName(spillEpoch)
+      // fence delta rows for the re-cut hosts: everything except the
+      // new boundary is driver-built (cheap bn = bn + overflow = bn +
+      // (hc−M); epoch bn = live recount + overflow, under epoch+1);
+      // the boundary itself joins in from the CACHED rank-M slice
+      // inside the concurrent delta write — no serial job here.
+      val fenceRows = rws.map { r =>
+        val h = r.getString(0)
+        val rfFlag = r.getBoolean(4)
+        val bnNew =
+          if (!rfFlag) r.getLong(6) + (r.getLong(7) - M)
+          else epochCnt.getOrElse(h, 0L) + (r.getLong(7) - M)
+        org.apache.spark.sql.Row(h, bnNew,
+          if (rfFlag) r.getInt(3) + 1 else r.getInt(3), false, r.getInt(5) + 1)
+      }
+      val localSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bn", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("epoch", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("rf", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("rc", org.apache.spark.sql.types.IntegerType)))
+      recutRows = spark.createDataFrame(
+          spark.sparkContext.parallelize(fenceRows.toSeq, 1), localSchema)
+        .join(broadcast(newFenceR), Seq("host"))
+        .select(col("host"), col("rfp").as("fp"), col("rfs").as("fs"),
+          col("bn"), col("epoch"), col("rf"), col("rc"))
+      sub("re-cut fold")
+    } else if (nRecut > 0) {
+      // JOIN fallback — an adversarial wave re-cutting more hosts than
+      // the driver should hold; same semantics, distributed bookkeeping
+      val recutHosts = info.filter(recutCond)
+        .select(col("host"), col("fp"), col("fs"), col("epoch"), col("rf"),
+          col("rc"), col("bn"), bucketCol.as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      recutPersists ::= recutHosts
+      val wSaltR = Window
+        .partitionBy(col("host"), pmod(hash(col("surt_key")), lit(cfg.salt)))
+        .orderBy(col("priority"), col("surt_key"))
+      val hr = headRows.join(recutHosts.select("host"), Seq("host"), "left_semi")
+      val rp1 = hr.withColumn("rn1", row_number().over(wSaltR))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      recutPersists ::= rp1
+      val rRanked = rp1.filter(col("rn1") <= M).drop("rn1")
+        .withColumn("rk", row_number().over(wHost))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      recutPersists ::= rRanked
+      val keepR = rRanked.filter(col("rk") <= M).select(pcols.map(col): _*)
+      val overflowR = rRanked.filter(col("rk") > M).select(pcols.map(col): _*)
+        .unionByName(rp1.filter(col("rn1") > M).select(pcols.map(col): _*))
+      val newFenceR = rRanked.filter(col("rk") === M)
+        .select(col("host"), col("priority").as("rfp"), col("surt_key").as("rfs"))
+      val cheap = recutHosts.filter(!col("rf"))
+      // cheap overflow keeps the host's CURRENT epoch
+      val spillCheap = overflowR
+        .join(cheap.select(col("host"), col("epoch").as("nep")), Seq("host"))
         .withColumn("epoch", col("nep")).drop("nep")
         .select(bcols.map(col): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      recutPersists ::= recutSpill
-      recutSpill.count() // materialize before any dir is overwritten
-      // v2 state: the initial writes minus the re-cut hosts' rows plus
-      // the re-cut outcome — a double write bounded by the wave's own
-      // state size, paid only on the rare adversarial wave
-      writeHead(headRows.join(recutHosts.select("host"), Seq("host"), "left_anti")
-        .unionByName(keepR))
-      writeSpill(spillRows.join(recutHosts.select("host"), Seq("host"), "left_anti")
-        .unionByName(recutSpill))
-      val recutCounts = recutSpill.groupBy("host").agg(count(lit(1)).as("rbn"))
-      recutRows = recutHosts.select(col("host"), (col("epoch") + 1).as("epoch"))
-        .join(newFenceR, Seq("host"))
-        .join(recutCounts, Seq("host"), "left")
+      recutPersists ::= spillCheap
+      var spillEpoch: DataFrame = emptyBacklog
+      if (nRecutEpoch > 0) {
+        val expens = recutHosts.filter(col("rf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        recutPersists ::= expens
+        // the hosts' live backlog: committed dirs (epoch-filtered —
+        // this wave's spill dir does not exist yet) plus this wave's
+        // routed spill for them from the CACHED frame
+        val rBuckets = expens.select("bucket").distinct().as[Int].collect().toSet
+        val oldDirs = backlogBucketDirs(wave, rBuckets)
+        val oldRaw =
+          if (oldDirs.isEmpty) emptyBacklog
+          else spark.read.schema(BacklogSchema)
+            .option("recursiveFileLookup", "true").parquet(oldDirs: _*)
+        val liveOld = oldRaw
+          .join(expens.select(col("host"), col("fp"), col("fs"),
+            col("epoch").as("__fe")), Seq("host"), "inner")
+          .filter(aboveFence && coalesce(col("epoch"), lit(0)) === col("__fe"))
+          .select(pcols.map(col): _*)
+        val liveNew = spillRows.join(expens.select("host"), Seq("host"), "left_semi")
+          .select(pcols.map(col): _*)
+        spillEpoch = overflowR
+          .join(expens.select("host"), Seq("host"), "left_semi")
+          .unionByName(liveOld).unionByName(liveNew)
+          .join(expens.select(col("host"), (col("epoch") + 1).as("nep")), Seq("host"))
+          .withColumn("epoch", col("nep")).drop("nep")
+          .select(bcols.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        recutPersists ::= spillEpoch
+      }
+      // final frames: re-cut hosts' head rows are replaced by their
+      // top-M; an epoch-bumped host's routed spill is replaced by its
+      // rewritten backlog (cheap hosts' routed spill stands, plus the
+      // overflow)
+      headFinal = headRows.join(recutHosts.select("host"), Seq("host"), "left_anti")
+        .unionByName(keepR)
+      spillFinal = (if (nRecutEpoch > 0)
+          spillRows.join(recutHosts.filter(col("rf")).select("host"),
+            Seq("host"), "left_anti")
+        else spillRows)
+        .unionByName(spillCheap).unionByName(spillEpoch)
+      val cheapCnt = spillCheap.groupBy("host").agg(count(lit(1)).as("xn"))
+      val epochCnt = spillEpoch.groupBy("host").agg(count(lit(1)).as("xn"))
+      val cheapRows = cheap.join(newFenceR, Seq("host"))
+        .join(cheapCnt, Seq("host"), "left")
         .select(col("host"), col("rfp").as("fp"), col("rfs").as("fs"),
-          coalesce(col("rbn"), lit(0L)).as("bn"), col("epoch"))
-      sub("epoch re-cut")
+          (col("bn") + coalesce(col("xn"), lit(0L))).as("bn"),
+          col("epoch"), lit(false).as("rf"), (col("rc") + 1).as("rc"))
+      val epochRows = recutHosts.filter(col("rf")).join(newFenceR, Seq("host"))
+        .join(epochCnt, Seq("host"), "left")
+        .select(col("host"), col("rfp").as("fp"), col("rfs").as("fs"),
+          coalesce(col("xn"), lit(0L)).as("bn"),
+          (col("epoch") + 1).as("epoch"), lit(false).as("rf"),
+          (col("rc") + 1).as("rc"))
+      recutRows = cheapRows.unionByName(epochRows)
+      sub("re-cut fold")
     }
+
+    // 3b. the final head/spill writes — ONE write each, re-cut already
+    // folded in — and, when no refill is pending, the fence delta too:
+    // all three sinks read only cached/checkpointed frames and prior
+    // waves' dirs, so they are independent jobs, submitted together.
+    // (With a pending refill the delta must wait: refilled fences are
+    // part of it, and the refill must see this wave's spill dir.)
+    val deltaBase = info
+      .filter(col("touched") && !needyCond && !recutCond)
+      .select(col("host"), col("fp"), col("fs"), col("bn"), col("epoch"),
+        col("rf"), col("rc"))
+    val deltaObs = org.apache.spark.sql.Observation()
+    def writeDelta(rows: DataFrame): Unit = {
+      rows.observe(deltaObs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(dir("fence_delta", s"wave=$wave"))
+      cacheAdd(fenceWavesCache, wave)
+    }
+    locally {
+      import scala.concurrent.Await
+      import scala.concurrent.duration.Duration
+      val fHead = Frontier.guarded {
+        jd("maint:writeHead")
+        val t = System.nanoTime()
+        writeHead(headFinal)
+        if (debug) System.err.println(
+          f"[frontier]     fHead: ${(System.nanoTime() - t) / 1e9}%.2fs")
+      }
+      val fSpill = Frontier.guarded {
+        jd("maint:writeSpill")
+        val t = System.nanoTime()
+        writeSpill(spillFinal)
+        if (debug) System.err.println(
+          f"[frontier]     fSpill: ${(System.nanoTime() - t) / 1e9}%.2fs")
+      }
+      val fDelta =
+        if (nNeedy > 0) None
+        else Some(Frontier.guarded {
+          jd("maint:writeDelta")
+          val t = System.nanoTime()
+          writeDelta(deltaBase
+            .unionByName(recutRows.select("host", "fp", "fs", "bn", "epoch", "rf", "rc")))
+          if (debug) System.err.println(
+            f"[frontier]     fDelta: ${(System.nanoTime() - t) / 1e9}%.2fs")
+        })
+      Await.result(fHead, Duration.Inf)
+      Await.result(fSpill, Duration.Inf)
+      fDelta.foreach(Await.result(_, Duration.Inf))
+    }
+    sub("head+spill(+delta) writes (concurrent)")
 
     // 4. refill — needy hosts only (the r4 full-fence-table chain is
     // gone; `info` already scoped the candidates to this wave's work).
@@ -1628,8 +1874,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     var needyRows: DataFrame = emptyFence
     var refillPersists: List[DataFrame] = Nil
     if (nNeedy > 0) {
+      jd("maint:refill")
       val needy = info.filter(needyCond)
-        .select(col("host"), col("fp"), col("fs"), col("epoch"), col("bn"),
+        .select(col("host"), col("fp"), col("fs"), col("epoch"), col("rf"),
+          col("rc"), col("bn"),
           (lit(M.toLong) - col("hc")).as("deficit"), bucketCol.as("bucket"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       refillPersists ::= needy
@@ -1681,9 +1929,9 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
               struct(col("priority").as("p"), col("surt_key").as("s")))).as("mx"))
           (rlB.filter(col("rk") <= col("deficit")).select(pcols.map(col): _*), Some(agg))
         }
-      // refilled rows APPEND to the head partition (a re-cut already
-      // rewrote the wave's head dir before this point; needy and
-      // re-cut host sets are provably disjoint)
+      // refilled rows APPEND to the head partition (as a subdir of the
+      // already-written head dir; needy and re-cut host sets are
+      // provably disjoint, so the re-cut fold never touched these)
       takenARows.unionByName(takenBRows)
         .write.mode("overwrite").parquet(headDir(wave) + "/refill")
       // fence/bn updates for the NEEDY hosts only: settled hosts
@@ -1696,13 +1944,18 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         .groupBy("host").agg(
           count(lit(1)).as("takenCntA"),
           max(struct(col("priority").as("p"), col("surt_key").as("s"))).as("mxA"))
+      // a refill that TOOK rows plants stale copies in the current
+      // epoch — flip rf so a later re-cut of this host knows the cheap
+      // fence-lowering is no longer safe (aFence only has hosts with
+      // taken rows, so isNotNull == took > 0)
       val withA = needy.join(aFence, Seq("host"), "left")
         .select(col("host"),
           when(col("takenCntA").isNotNull, col("mxA.p")).otherwise(col("fp")).as("fp"),
           when(col("takenCntA").isNotNull, col("mxA.s")).otherwise(col("fs")).as("fs"),
           when(col("takenCntA").isNotNull, col("bn") - col("takenCntA"))
             .otherwise(col("bn")).as("bn"),
-          col("epoch"))
+          col("epoch"),
+          (col("rf") || col("takenCntA").isNotNull).as("rf"), col("rc"))
       needyRows = bAgg match {
         case None => withA
         case Some(agg) =>
@@ -1717,24 +1970,26 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
               when(col("isNeedy"),
                 coalesce(col("liveCnt"), lit(0L)) - coalesce(col("takenCnt"), lit(0L)))
                 .otherwise(col("bn")).as("bn"),
-              col("epoch"))
+              col("epoch"),
+              (col("rf") ||
+                (col("takenCnt").isNotNull && col("takenCnt") > 0)).as("rf"),
+              col("rc"))
       }
       sub("refill")
     }
 
     // 6. the wave's fence DELTA: one row per touched / refilled /
     // re-cut host; dormant and merely-draining hosts write nothing —
-    // the write is O(hosts-touched), never O(hosts-ever-spilled)
-    val deltaRows = info
-      .filter(col("touched") && !needyCond && !recutCond)
-      .select(col("host"), col("fp"), col("fs"), col("bn"), col("epoch"))
-      .unionByName(needyRows.select("host", "fp", "fs", "bn", "epoch"))
-      .unionByName(recutRows.select("host", "fp", "fs", "bn", "epoch"))
-    val deltaObs = org.apache.spark.sql.Observation()
-    deltaRows.observe(deltaObs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(dir("fence_delta", s"wave=$wave"))
-    cacheAdd(fenceWavesCache, wave)
-    sub("fence delta write")
+    // the write is O(hosts-touched), never O(hosts-ever-spilled).
+    // Already written concurrently with head/spill above unless a
+    // refill ran (its fence raises are part of the delta).
+    val fcols = Seq("host", "fp", "fs", "bn", "epoch", "rf", "rc")
+    if (nNeedy > 0) {
+      writeDelta(deltaBase
+        .unionByName(needyRows.select(fcols.map(col): _*))
+        .unionByName(recutRows.select(fcols.map(col): _*)))
+      sub("fence delta write")
+    }
     deleteMarker(s"FENCES-$wave.m")
     // fences are monotone: once any host is fenced the marker stays
     if (hasFences || deltaObs.get("n").asInstanceOf[Long] > 0L)

@@ -112,15 +112,28 @@ object ReferenceCrawler {
     *    concentrates hosts on low ids, priorities uniform in [0,100).
     *  - "adversarial": a tiny host set emitting ALWAYS-BEST priorities
     *    (0–2) — every discovered row beats any realistic fence and
-    *    routes to the head, the overgrowth shape the epoch'd per-host
-    *    re-cut exists for. */
+    *    routes to the head, the overgrowth shape the per-host re-cut
+    *    exists for.
+    *  - "pulse": most URLs emit ONE poor-priority link (hosts drain
+    *    and REFILL between bursts), ~a quarter emit a burst of
+    *    always-best links — refill-then-flood within one epoch, the
+    *    shape that forces the EPOCH-BUMP re-cut path (the cheap
+    *    fence-lowering is unsafe once a refill planted copies). */
   def outlinks(surt: String, cfg: FrontierConfig): Seq[(String, Int)] = {
     val h0 = SeenFilter.hashKey(surt + ":" + cfg.seed)
-    (0 until cfg.outlinksPerUrl).map { i =>
+    val n = if (cfg.outlinkMode == "pulse") {
+      if (java.lang.Math.floorMod(h0, 4L) == 0L) 12 * cfg.outlinksPerUrl else 1
+    } else cfg.outlinksPerUrl
+    (0 until n).map { i =>
       val h = SeenFilter.hashKey(surt + "#" + i)
       val path = java.lang.Math.floorMod(h ^ h0, 100000L)
       val priv = if (java.lang.Math.floorMod(h, 7L) == 0L) "/private" else ""
-      if (cfg.outlinkMode == "adversarial") {
+      if (cfg.outlinkMode == "pulse") {
+        val hostId = java.lang.Math.floorMod(h, math.min(3, cfg.hostPool).toLong)
+        val pri = if (n == 1) 90 + java.lang.Math.floorMod(h, 10L).toInt
+                  else java.lang.Math.floorMod(h, 3L).toInt
+        (s"https://www.host$hostId.example.org$priv/p/$path?x=1", pri)
+      } else if (cfg.outlinkMode == "adversarial") {
         val hostId = java.lang.Math.floorMod(h, math.min(5, cfg.hostPool).toLong)
         (s"https://www.host$hostId.example.org$priv/p/$path?x=1",
           java.lang.Math.floorMod(h, 3L).toInt)

@@ -41,6 +41,20 @@ class CrawlParitySpec extends AnyFunSuite with SparkTestBase {
       outlinkMode = "adversarial"), waves = 6)
   }
 
+  test("pulse parity: refill-then-flood epoch-bump re-cuts still match the reference, 7 waves") {
+    // the pulse shape alternates draining (refills plant stale backlog
+    // copies) with always-best floods (overgrowth) — the ONE sequence
+    // where the cheap fence-lowering re-cut would resurrect copies and
+    // the engine must take the epoch-bump path instead. Bit-identical
+    // schedules prove both re-cut paths and the rf gate between them
+    // are pure state reshapes.
+    parityRun("crawl-parity-pulse", FrontierConfig(
+      checkpointDir = graft.Scratch.dir("crawl-parity-pulse").toString,
+      hostBudget = 3, headMult = 2, backlogBuckets = 8,
+      seenShards = 8, outlinksPerUrl = 4, hostPool = 3,
+      outlinkMode = "pulse"), waves = 7)
+  }
+
   test("real-robots parity: disallows, longest-match, group merge and crawl-delay k_eff match the reference, 5 waves") {
     val cfg = FrontierConfig(
       checkpointDir = graft.Scratch.dir("crawl-parity-robots").toString,

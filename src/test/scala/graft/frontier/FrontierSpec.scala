@@ -590,10 +590,40 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
         .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
       assert(mx <= 2L * M, s"wave $w: a host's head grew past 2M ($mx > ${2 * M})")
     }
-    // non-vacuous: the adversary actually forced epoch bumps
-    val maxEpoch = f.fenceTableDf(20)
-      .agg(org.apache.spark.sql.functions.max("epoch")).head().getInt(0)
-    assert(maxEpoch >= 1, "no re-cut ever triggered — adversarial shape broken")
+    // non-vacuous: the adversary actually forced re-cuts. These hosts
+    // flood without ever draining (no refill → no stale copies), so
+    // the CHEAP in-place fence-lowering path must have served them:
+    // re-cut counts grow while epochs stay 0.
+    val fin = f.fenceTableDf(20)
+      .agg(org.apache.spark.sql.functions.max("rc"),
+        org.apache.spark.sql.functions.max("epoch")).head()
+    assert(fin.getInt(0) >= 1, "no re-cut ever triggered — adversarial shape broken")
+    assert(fin.getInt(1) === 0,
+      "flood-only adversary took the epoch-bump path — cheap re-cut gate broken")
+  }
+
+  test("pulse discovery (refill-then-flood): heads stay ≤ 2×M and the EPOCH-BUMP re-cut path fires") {
+    val cfg = FrontierConfig(checkpointDir = tmpDir("recut-epoch"),
+      hostBudget = 3, headMult = 2, seenShards = 8, backlogBuckets = 8,
+      outlinksPerUrl = 4, hostPool = 3, outlinkMode = "pulse",
+      compactEvery = 6)
+    val f = new Frontier(spark, cfg)
+    f.initialize(Frontier.syntheticSeeds(spark, 600, hostPool = 3))
+    val M = math.max(cfg.hostBudget, cfg.headMult * cfg.hostBudget)
+    for (w <- 1 to 14) {
+      f.runWave()
+      val mx = f.headTableDf(w).groupBy("host").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      assert(mx <= 2L * M, s"wave $w: a host's head grew past 2M ($mx > ${2 * M})")
+    }
+    // non-vacuous: a refill preceded some overgrowth, so at least one
+    // re-cut had live copies to respect and bumped the epoch
+    val fin = f.fenceTableDf(14)
+      .agg(org.apache.spark.sql.functions.max("epoch"),
+        org.apache.spark.sql.functions.max("rc")).head()
+    assert(fin.getInt(0) >= 1,
+      "pulse shape never forced the epoch-bump path — test shape broken")
+    assert(fin.getInt(1) >= 1)
   }
 
   test("seen reshard 8→32 mid-crawl: probes, schedules and membership identical; stale config fails loudly") {
