@@ -83,6 +83,15 @@ final case class FrontierConfig(
       * jobs); beyond it the distributed join path runs instead. ~100 B
       * per host of driver memory at the cap. */
     recutCollectMax: Int = 20000,
+    /** spread refills across waves (EARLY refill below 2×budget on a
+      * host-hash phase) instead of letting same-seeded hosts pulse one
+      * big refill wave every ~headMult−1 waves. Flattens per-wave
+      * variance at a real mean cost — each refill wave pays the
+      * band-0 read + window fixed costs, so paying them every wave
+      * instead of every (headMult−1) raises the average (measured in
+      * BENCH.md). Opt-in: pulses are throughput-neutral, spikes in
+      * wall-clock variance usually aren't worth the mean. */
+    refillSpread: Boolean = false,
     /** synthetic discovery shape: "zipf" (default crawl-like skew) or
       * "adversarial" (a tiny host set emitting always-best priorities —
       * the fenced-host head-overgrowth adversary the epoch'd re-cut
@@ -1554,11 +1563,12 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         (coalesce(col("pbn"), lit(0L)) + col("spilled")).as("bn"),
         col("hc"), col("spilled"),
         (col("spilled") > 0L || col("nfp").isNotNull).as("touched"))
-    // deamortized refill trigger (see scaladoc step 4)
+    // refill trigger: mandatory below budget; optionally deamortized
+    // (see scaladoc step 4 and cfg.refillSpread)
     val spreadPeriod = math.max(1, cfg.headMult - 1)
     val needyCond = col("fp").isNotNull && col("bn") > 0 && col("hc") < M &&
       (col("hc") < budget ||
-        (col("hc") < 2L * budget &&
+        (lit(cfg.refillSpread) && col("hc") < 2L * budget &&
           pmod(xxhash64(col("host")), lit(spreadPeriod.toLong)) ===
             lit((wave % spreadPeriod).toLong)))
     val recutCond = col("fp").isNotNull && col("hc") > 2L * M

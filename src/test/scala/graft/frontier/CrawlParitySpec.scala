@@ -27,6 +27,18 @@ class CrawlParitySpec extends AnyFunSuite with SparkTestBase {
       seenShards = 8, outlinksPerUrl = 3, hostPool = 60), waves = 5)
   }
 
+  test("deamortized-refill parity: host-hash-phased EARLY refills never change the schedule, 6 waves") {
+    // refillSpread pulls refills 1 wave early on a host-hash phase —
+    // an early refill only adds rows worse than every head row, so
+    // the schedule must be bit-identical to the (refill-unaware)
+    // sequential reference
+    parityRun("crawl-parity-spread", FrontierConfig(
+      checkpointDir = graft.Scratch.dir("crawl-parity-spread").toString,
+      hostBudget = 4, headMult = 3, backlogBuckets = 8,
+      seenShards = 8, outlinksPerUrl = 3, hostPool = 60,
+      refillSpread = true), waves = 6)
+  }
+
   test("adversarial overgrowth parity: epoch'd per-host re-cuts still match the reference, 6 waves") {
     // "adversarial" discovery concentrates always-best priorities on a
     // tiny host set — every fresh row beats any fence, heads overgrow,
