@@ -97,22 +97,34 @@ object FrontierBench {
     * anti-join or rewrite the deep backlog. Reports seconds per
     * steady-state wave (waves 2-4; wave 1 pays the one-time lazy cut
     * of the seed queue). */
-  def runDeep(spark: SparkSession, seeds: Int): (Double, Long) = {
+  def runDeep(spark: SparkSession, seeds: Int,
+              hostsOverride: Option[Int] = None): (Double, Long) = {
     val ck = Scratch.dir("frontier-deep")
     try {
-      val hosts = math.max(20, seeds / 10000)
+      // hostsOverride holds the per-wave work CONSTANT while seeds
+      // scale the queue depth — the pending-independence experiment
+      // (a flat engine shows equal sec/wave at 10k vs 20k urls/host)
+      val hosts = hostsOverride.getOrElse(math.max(20, seeds / 10000))
       val cfg = graft.frontier.FrontierConfig(
         checkpointDir = ck.toString, hostBudget = 50, seenShards = 64,
-        outlinksPerUrl = 2, hostPool = hosts, fastMode = true)
+        outlinksPerUrl = 2, hostPool = hosts, fastMode = true,
+        compactEvery = 3)
       val f = new graft.frontier.Frontier(spark, cfg)
       val seedDf = graft.frontier.Frontier
         .syntheticSeeds(spark, seeds, hostPool = hosts)
         .repartition(spark.sparkContext.defaultParallelism)
       f.initialize(seedDf)
-      f.runWave() // wave 1: one-time cut of the full seed queue
+      // waves 1-3 are the crawl's startup transient: the one-time cut
+      // of the full seed queue (wave 1) and the first compaction
+      // (wave 3), which folds the jumbo cut delta into the RANK-banded
+      // base. Steady state — the shape a 10^10 crawl spends its life
+      // in — starts after it; waves 4-7 cover one mandatory refill
+      // pulse, one in-window compaction (wave 6, amortized cost
+      // included honestly) and two quiet waves.
+      (1 to 3).foreach(_ => f.runWave())
       val t0 = System.nanoTime()
-      val rs = (2 to 4).map(_ => f.runWave())
-      val perWave = (System.nanoTime() - t0) / 1e9 / 3.0
+      val rs = (4 to 7).map(_ => f.runWave())
+      val perWave = (System.nanoTime() - t0) / 1e9 / 4.0
       (perWave, rs.map(_.scheduled).sum)
     } finally Scratch.delete(ck)
   }
@@ -232,7 +244,8 @@ object ScalingBench {
     val par = execs.getOrElse(cores)
     val mode = if (execs.isDefined) "executors" else "threads"
     if (args.lift(2).contains("deep")) {
-      val (perWave, sched) = FrontierBench.runDeep(spark, seeds)
+      val (perWave, sched) = FrontierBench.runDeep(spark, seeds,
+        sys.env.get("GRAFT_DEEP_HOSTS").flatMap(_.toIntOption))
       val line =
         f"""{"metric":"deep_frontier_wave","unit":"sec/wave","mode":"$mode","cores":$par,"pending":$seeds,"sec_per_wave":$perWave%.2f,"scheduled":$sched,"calib_ms":$calibMs%.0f}"""
       println(line)

@@ -942,19 +942,29 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   private def backlogDeltaWaves(): Seq[Int] =
     cachedWaves(spillWavesCache, "maint", Some("dest=spill")).toSeq
 
-  private def latestBacklogBase(wave: Int): Option[Int] = {
+  /** Compacted RUNS readable as of `wave` — the backlog store is
+    * TIERED (round 5): a compaction normally folds only the
+    * accumulated deltas into one new rank-banded run, and merges runs
+    * into each other only when the smaller tiers grow to a fraction
+    * of the largest (classic LSM tiering). The previous
+    * rewrite-everything compaction was O(backlog) every compactEvery
+    * waves = O(backlog/K) per wave — NOT flat in pending, and at 20M+
+    * rows it dominated the deep-crawl wave cost. */
+  private def backlogRuns(wave: Int): Seq[Int] = {
     val re = "BACKLOG_BASE-(\\d+)\\.json".r
-    val c = listMarkerWaves(re).filter(_ <= wave)
-    if (c.isEmpty) None else Some(c.max)
+    listMarkerWaves(re).filter(_ <= wave).toSeq.sorted
   }
 
-  /** Top-level backlog dirs readable as of `wave`: compacted base +
+  private def latestBacklogBase(wave: Int): Option[Int] =
+    backlogRuns(wave).lastOption
+
+  /** Top-level backlog dirs readable as of `wave`: compacted runs +
     * newer deltas, enumerated explicitly (an uncommitted crashed
     * wave's partial delta and folded deltas are never read). */
   private def backlogDirs(wave: Int): Seq[String] = {
-    val base = latestBacklogBase(wave)
-    val b = base.getOrElse(-1)
-    base.map(bb => dir("backlog_base", s"upto=$bb")).toSeq ++
+    val runs = backlogRuns(wave)
+    val b = runs.lastOption.getOrElse(-1)
+    runs.map(bb => dir("backlog_base", s"upto=$bb")) ++
       backlogDeltaWaves().filter(w => w > b && w <= wave).sorted.map(spillDir)
   }
 
@@ -1006,40 +1016,141 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         }
       })
       children.collect {
-        case (v, path) if buckets.contains(v / (MaxBand + 1)) &&
+        // v == -1 is the per-host BOUNDS sidecar, never row data
+        case (v, path) if v >= 0 && buckets.contains(v / (MaxBand + 1)) &&
             (!bandZeroOnly || v % (MaxBand + 1) == 0) => path
       }
     }
   }
 
 
-  /** Fold backlog deltas ≤ `upTo` (committed) into one compacted
-    * bucketed base, dropping dead rows (≤ fence — stale refill copies)
-    * for good. Marker-published; readers enumerate (base, deltas >
-    * base) so a crash anywhere leaves only unread garbage. Runs every
-    * `compactEvery` waves from the wave loop: O(backlog) I/O amortized
-    * to O(backlog/K) per wave. */
+  /** Per-host BOUNDS sidecar schema: the best (priority, surt) among a
+    * banded store's rows OUTSIDE band 0 — written as the `bkb=-1`
+    * partition of that store. A refill that met its deficit from
+    * band-0 rows all strictly better than every bounds row has
+    * provably seen the host's true next rows; stores that collapsed
+    * entirely into band 0 have no unread rows and write no sidecar.
+    * Conservative under later liveness changes: fences only rise and
+    * epochs only invalidate, so the true best unread row only gets
+    * worse than the recorded bound. */
+  private val BoundsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bp", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bs", org.apache.spark.sql.types.StringType)))
+
+  /** The bkb=-1 bounds sidecars present among the readable backlog
+    * stores (memoized child listings, like the data dirs). */
+  private def backlogBoundsDirs(wave: Int): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    backlogDirs(wave).flatMap { d =>
+      val children = bucketDirCache.computeIfAbsent(d, { dd =>
+        val p = new org.apache.hadoop.fs.Path(dd)
+        val fs = p.getFileSystem(conf)
+        Frontier.fsListCount.incrementAndGet(); fsListOps.incrementAndGet()
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          n.stripPrefix("bkb=").toIntOption match {
+            case Some(v) if n.startsWith("bkb=") => Some((v, st.getPath.toString))
+            case _                               => None
+          }
+        }
+      })
+      children.collect { case (v, path) if v == -1 => path }
+    }
+  }
+
+  private def writeBounds(rows: DataFrame, bandColRef: org.apache.spark.sql.Column,
+                          dest: String): Unit =
+    rows.filter(bandColRef >= 1)
+      .groupBy("host")
+      .agg(min(struct(col("priority").as("p"), col("surt_key").as("s"))).as("b"))
+      .select(col("host"), col("b.p").as("bp"), col("b.s").as("bs"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dest + "/bkb=-1")
+
+  /** TIERED backlog compaction. Normally folds only the accumulated
+    * deltas into ONE new rank-banded run (O(deltas), flat in pending);
+    * runs merge with each other only when the smaller tiers together
+    * reach half the largest run (or ≥ 4 runs exist) — classic LSM
+    * tiering, so per-wave amortized compaction I/O is O(fresh × log),
+    * never O(backlog/K). Each run: band 0 = each host's top-B0 live
+    * rows at fold time, later bands geometric, plus a bkb=-1 bounds
+    * sidecar (best row outside band 0) that keeps the refill phase-A
+    * settle exact — the old priority bands made band 0 a fixed
+    * fraction of the WHOLE backlog (O(pending/16) per refill wave,
+    * measured linear at 20M→40M pending) and their static settle
+    * check stopped working once fences rose past the first band.
+    * Marker-published; readers enumerate (runs, deltas > newest run)
+    * so a crash anywhere leaves only unread garbage. */
   def compactBacklog(upTo: Int): Unit = {
     require(upTo <= latestCommittedWave(), s"wave $upTo not committed yet")
     if (latestBacklogBase(upTo).contains(upTo)) return
-    if (backlogDirs(upTo).isEmpty) return
     sweepOrphanBases("backlog_base", "BACKLOG_BASE-")
-    val prevBase = latestBacklogBase(upTo)
-    val live = backlogLive(upTo, fenceDf(upTo))
-    live.select(col("surt_key"), col("canonical_url"), col("host"), col("priority"),
-        col("epoch"), bkbCol.as("bkb"))
+    val runs = backlogRuns(upTo)
+    val newestRun = runs.lastOption.getOrElse(-1)
+    val deltaDirs = backlogDeltaWaves()
+      .filter(w => w > newestRun && w <= upTo).sorted.map(spillDir)
+    if (deltaDirs.isEmpty && runs.size <= 1) return // nothing to fold
+    val conf = spark.sessionState.newHadoopConf()
+    def bytesOf(d: String): Long =
+      try {
+        val pp = new org.apache.hadoop.fs.Path(d)
+        pp.getFileSystem(conf).getContentSummary(pp).getLength
+      } catch { case _: Exception => 0L }
+    val runSizes = runs.map(r => r -> bytesOf(dir("backlog_base", s"upto=$r")))
+    val largest = runSizes.map(_._2).maxOption.getOrElse(0L)
+    val smallSum = runSizes.map(_._2).sum - largest + deltaDirs.map(bytesOf).sum
+    val merge = runs.nonEmpty && (runs.size >= 4 || smallSum * 2 >= largest)
+    val foldedRuns = if (merge) runs else Seq.empty
+    // source data dirs: bkb>=0 children only (the bkb=-1 bounds
+    // sidecars are a different schema and are regenerated below)
+    val srcTops = foldedRuns.map(r => dir("backlog_base", s"upto=$r")) ++ deltaDirs
+    val srcData = srcTops.flatMap { d =>
+      val pp = new org.apache.hadoop.fs.Path(d)
+      val fs = pp.getFileSystem(conf)
+      if (!fs.exists(pp)) Nil
+      else fs.listStatus(pp).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("bkb="))
+        .filter(_.getName.stripPrefix("bkb=").toIntOption.exists(_ >= 0))
+        .map(_.toString)
+    }
+    if (srcData.isEmpty) return
+    val raw = spark.read.schema(BacklogSchema)
+      .option("recursiveFileLookup", "true").parquet(srcData: _*)
+      .select("surt_key", "canonical_url", "host", "priority", "epoch")
+    val fence = fenceDf(upTo)
+    val live = raw.join(fence.select(col("host"), col("fp"), col("fs"),
+        col("epoch").as("__fe")), Seq("host"), "inner")
+      .filter(col("fp").isNotNull &&
+        coalesce(col("epoch"), lit(0)) === coalesce(col("__fe"), lit(0)) &&
+        (col("priority") > col("fp") ||
+          (col("priority") === col("fp") && col("surt_key") > col("fs"))))
+      .select("surt_key", "canonical_url", "host", "priority", "epoch")
+    val b0 = math.max(2 * headM, 16)
+    val wrk = Window.partitionBy(col("host")).orderBy(col("priority"), col("surt_key"))
+    val banded = live
+      .withColumn("__rk", row_number().over(wrk))
+      .withColumn("__band",
+        when(col("__rk") <= b0, lit(0)).otherwise(
+          least(lit(MaxBand), (floor(
+            log(4.0, (col("__rk") - 1).cast("double") / b0)) + 1).cast("int"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.select(col("surt_key"), col("canonical_url"), col("host"), col("priority"),
+        col("epoch"), (bucketCol * lit(MaxBand + 1) + col("__band")).as("bkb"))
       .repartition(col("bkb"))
       .write.partitionBy("bkb").mode("overwrite")
       .parquet(dir("backlog_base", s"upto=$upTo"))
+    writeBounds(banded, col("__band"), dir("backlog_base", s"upto=$upTo"))
+    banded.unpersist(blocking = false)
     bucketDirCache.remove(dir("backlog_base", s"upto=$upTo"))
     publishMarker(s"BACKLOG_BASE-$upTo.json", s"""{"upto":$upTo}""")
-    val conf = spark.sessionState.newHadoopConf()
     def rm(path: String): Unit =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
         p.getFileSystem(conf).delete(p, true); ()
       } catch { case _: Exception => }
-    prevBase.foreach { b =>
+    foldedRuns.foreach { b =>
       deleteMarker(s"BACKLOG_BASE-$b.json")
       rm(dir("backlog_base", s"upto=$b"))
       bucketDirCache.remove(dir("backlog_base", s"upto=$b"))
@@ -1516,6 +1627,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       rows.withColumn("bkb", if (bandIt) bkbCol else bucketCol * lit(MaxBand + 1))
         .repartition(col("bkb")) // one file per (bucket, band) dir
         .write.partitionBy("bkb").mode("overwrite").parquet(spillDir(wave))
+      // banded stores carry a bounds sidecar so phase-A refills can
+      // settle exactly against the unread bands; single-band deltas
+      // have no unread rows and need none
+      if (bandIt) writeBounds(rows, bandCol, spillDir(wave))
       cacheAdd(spillWavesCache, wave)
       bucketDirCache.remove(spillDir(wave))
     }
@@ -1603,6 +1718,8 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
+    if (debug) System.err.println(
+      s"[frontier]     accounting: nNeedy=$nNeedy nRecut=$nRecut (epoch=$nRecutEpoch) bandIt=$bandIt")
     sub("accounting")
 
     // 5. epoch'd / in-place per-host RE-CUT, folded into the frames
@@ -1907,14 +2024,31 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
       val rlA = liveRanked(backlogBucketDirs(wave, buckets, bandZeroOnly = true), needy)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       refillPersists ::= rlA
-      // per-host phase-A outcome: settled iff deficit met inside band 0
+      // per-host phase-A outcome: settled iff the full deficit arrived
+      // with every taken row strictly better than the host's best row
+      // OUTSIDE band 0 (the bkb=-1 bounds sidecars, reduced per host;
+      // a host with no bounds row has no unread banded rows at all).
+      // This is exact at any fence height — the old static
+      // `worstA < BandWidth` check stopped settling once fences rose
+      // past the first priority band, silently degrading every later
+      // refill to a full phase-B read.
+      val boundsDirs = backlogBoundsDirs(wave)
+      val boundsMin =
+        if (boundsDirs.isEmpty) null
+        else spark.read.schema(BoundsSchema).parquet(boundsDirs: _*)
+          .groupBy("host")
+          .agg(min(struct(col("bp").as("p"), col("bs").as("s"))).as("minb"))
       val aAgg = rlA.groupBy("host").agg(
         sum(when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("takenA"),
-        max(when(col("rk") <= col("deficit"), col("priority"))).as("worstA"))
-      val settled = needy.join(aAgg, Seq("host"), "left")
+        max(when(col("rk") <= col("deficit"),
+          struct(col("priority").as("p"), col("surt_key").as("s")))).as("worstA"))
+      val settled0 = needy.join(aAgg, Seq("host"), "left")
+      val settled = (if (boundsMin == null) settled0.withColumn("minb",
+          lit(null).cast("struct<p:int,s:string>"))
+        else settled0.join(boundsMin, Seq("host"), "left"))
         .select(col("host"), col("deficit"),
           (coalesce(col("takenA"), lit(0L)) === col("deficit") &&
-            col("worstA") < BandWidth).as("ok"))
+            (col("minb").isNull || col("worstA") < col("minb"))).as("ok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       refillPersists ::= settled
       val needyB = needy.join(settled.filter(!col("ok")).select("host"), Seq("host"), "inner")

@@ -27,6 +27,18 @@ class CrawlParitySpec extends AnyFunSuite with SparkTestBase {
       seenShards = 8, outlinksPerUrl = 3, hostPool = 60), waves = 5)
   }
 
+  test("compacted-refill parity: rank-banded base + bounds settle stays exact across compactions, 8 waves") {
+    // headMult=1 forces a refill EVERY wave; compactEvery=2 folds the
+    // backlog into the rank-banded base (with bkb=-1 bounds sidecars)
+    // repeatedly mid-crawl — every refill after wave 2 reads the new
+    // banded layout, and the bounds-based settle must keep schedules
+    // bit-identical to the sequential reference
+    parityRun("crawl-parity-compact-refill", FrontierConfig(
+      checkpointDir = graft.Scratch.dir("crawl-parity-compact-refill").toString,
+      hostBudget = 4, headMult = 1, backlogBuckets = 8, compactEvery = 2,
+      seenShards = 8, outlinksPerUrl = 3, hostPool = 60), waves = 8)
+  }
+
   test("deamortized-refill parity: host-hash-phased EARLY refills never change the schedule, 6 waves") {
     // refillSpread pulls refills 1 wave early on a host-hash phase —
     // an early refill only adds rows worse than every head row, so
