@@ -88,6 +88,24 @@ final case class FrontierBenchResult(scheduled: Long, deduped: Long, elapsedSec:
   def urlsPerSec: Double = (scheduled + deduped) / math.max(elapsedSec, 1e-9)
 }
 
+/** Cluster-utilization accounting for the scaling legs (populated by
+  * an always-on listener in ScalingBench): total task run/cpu time
+  * across the measured window, so a leg's JSON self-documents how busy
+  * its executor cores actually were — the N-vs-4N efficiency story is
+  * unreadable without it (BENCH.md round-5 validity rule: a pair is
+  * meaningful iff both legs ran ≥90% occupancy with ~matching
+  * task_cpu; ambient host interference pollutes either field). */
+object UtilStats {
+  val taskRunMs = new java.util.concurrent.atomic.LongAdder
+  val taskCpuMs = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = { taskRunMs.reset(); taskCpuMs.reset() }
+  def driverCpuMs: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1000000L
+      case _ => -1L
+    }
+}
+
 object FrontierBench {
 
   /** DEEP-FRONTIER leg: a politeness-bound crawl where pending ≫ the
@@ -194,9 +212,22 @@ object ScalingBench {
           "spark.locality.wait" -> "0"))
       case None => GraftSession.create(s"local[$cores]", benchMode = true)
     }
+    // always-on utilization accounting: every leg's JSON carries its
+    // own occupancy evidence (task_run/task_cpu/driver_cpu) so a
+    // polluted draw is detectable from the artifact alone
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskInfo != null) {
+          UtilStats.taskRunMs.add(te.taskInfo.duration)
+          if (te.taskMetrics != null)
+            UtilStats.taskCpuMs.add(te.taskMetrics.executorCpuTime / 1000000L)
+        }
+      }
+    })
     // GRAFT_JOBLOG=1: per-job wall times to stderr (perf forensics)
     if (sys.env.get("GRAFT_JOBLOG").contains("1")) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val epoch = System.nanoTime()
         private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           val desc = Option(j.properties)
@@ -208,18 +239,46 @@ object ScalingBench {
         }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           Option(starts.remove(j.jobId)).foreach { case (t0, desc) =>
+            val now = System.nanoTime()
+            // start/end offsets let a consumer rebuild the busy/idle
+            // timeline and measure driver-serial gaps between jobs
             System.err.println(
-              f"[joblog] job=${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2fs  $desc")
+              f"[joblog] job=${j.jobId}%4d ${(now - t0) / 1e9}%6.2fs  " +
+                f"s=${(t0 - epoch) / 1e9}%.2f e=${(now - epoch) / 1e9}%.2f  $desc")
           }
         }
+        private val stageTaskMs =
+          new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
           val secs = (for (a <- si.completionTime; b <- si.submissionTime) yield (a - b) / 1e3)
             .getOrElse(-1.0)
+          val tsum = Option(stageTaskMs.remove(si.stageId)).map(_.sum).getOrElse(0L) / 1e3
           if (secs > 1.0)
             System.err.println(f"[stagelog] stage=${si.stageId}%4d $secs%6.2fs " +
-              f"tasks=${si.numTasks} ${si.name.take(120)}")
+              f"tsum=$tsum%6.2fs tasks=${si.numTasks} ${si.name.take(120)}")
+        }
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          // stragglers: a task whose run time would dominate a 4-core
+          // stage wall (skew is invisible at 1 core — everything
+          // serializes — but halves 4N scaling)
+          val ti = te.taskInfo
+          if (ti != null)
+            stageTaskMs.computeIfAbsent(te.stageId,
+              _ => new java.util.concurrent.atomic.LongAdder).add(ti.duration)
+          if (ti != null && ti.duration > sys.env.getOrElse("GRAFT_TASKLOG_MS", "4000").toLong) {
+            val m = te.taskMetrics
+            val gc = if (m != null) m.jvmGCTime else -1L
+            val cpu = if (m != null) m.executorCpuTime / 1000000L else -1L
+            val fetch = m match {
+              case null => -1L
+              case mm => mm.shuffleReadMetrics.fetchWaitTime
+            }
+            System.err.println(f"[tasklog] stage=${te.stageId}%4d task=${ti.index}%4d " +
+              f"${ti.duration / 1e3}%6.2fs cpu=${cpu / 1e3}%.1fs gc=${gc / 1e3}%.1fs " +
+              f"fetchWait=${fetch / 1e3}%.1fs exec=${ti.executorId}")
+          }
         }
       })
     }
@@ -279,9 +338,14 @@ object ScalingBench {
         println(line)
         BenchOut.write("scalingbench.json", line, append = true)
       case _ =>
+        UtilStats.reset()
+        val dcpu0 = UtilStats.driverCpuMs
         val r = FrontierBench.run(spark, seeds = seeds)
+        val taskRun = UtilStats.taskRunMs.sum() / 1e3
+        val taskCpu = UtilStats.taskCpuMs.sum() / 1e3
+        val dcpu = (UtilStats.driverCpuMs - dcpu0) / 1e3
         val line =
-          f"""{"metric":"frontier_throughput","unit":"urls/sec","mode":"$mode","cores":$par,"seeds":$seeds,"urls_per_sec":${r.urlsPerSec}%.0f,"elapsed_sec":${r.elapsedSec}%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped},"calib_ms":$calibMs%.0f}"""
+          f"""{"metric":"frontier_throughput","unit":"urls/sec","mode":"$mode","cores":$par,"seeds":$seeds,"urls_per_sec":${r.urlsPerSec}%.0f,"elapsed_sec":${r.elapsedSec}%.1f,"scheduled":${r.scheduled},"deduped":${r.deduped},"task_run_sec":$taskRun%.1f,"task_cpu_sec":$taskCpu%.1f,"driver_cpu_sec":$dcpu%.1f,"calib_ms":$calibMs%.0f}"""
         println(line)
         BenchOut.write("scalingbench.json", line, append = true)
     }
