@@ -997,25 +997,30 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     * keeps only band-0 dirs. Per-dir child listings are memoized
     * (delta/base dirs are immutable; the writer invalidates the one
     * dir it rewrites). */
-  private def backlogBucketDirs(wave: Int, buckets: Set[Int],
-                                bandZeroOnly: Boolean = false,
-                                excludeDir: Option[String] = None): Seq[String] = {
-    val conf = spark.sessionState.newHadoopConf()
-    backlogDirs(wave).filterNot(excludeDir.contains).flatMap { d =>
-      val children = bucketDirCache.computeIfAbsent(d, { dd =>
-        val p = new org.apache.hadoop.fs.Path(dd)
-        val fs = p.getFileSystem(conf)
-        Frontier.fsListCount.incrementAndGet(); fsListOps.incrementAndGet()
-        if (!fs.exists(p)) Nil
-        else fs.listStatus(p).toSeq.flatMap { st =>
-          val n = st.getPath.getName
-          n.stripPrefix("bkb=").toIntOption match {
-            case Some(v) if n.startsWith("bkb=") => Some((v, st.getPath.toString))
-            case _                               => None
-          }
+  /** Memoized `bkb=` child listing of one backlog store dir (the
+    * single listing path shared by the data-dir and bounds-sidecar
+    * readers — the two differ only in which bkb values they collect). */
+  private def bkbChildren(d: String,
+                          conf: org.apache.hadoop.conf.Configuration): Seq[(Int, String)] =
+    bucketDirCache.computeIfAbsent(d, { dd =>
+      val p = new org.apache.hadoop.fs.Path(dd)
+      val fs = p.getFileSystem(conf)
+      Frontier.fsListCount.incrementAndGet(); fsListOps.incrementAndGet()
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        n.stripPrefix("bkb=").toIntOption match {
+          case Some(v) if n.startsWith("bkb=") => Some((v, st.getPath.toString))
+          case _                               => None
         }
-      })
-      children.collect {
+      }
+    })
+
+  private def backlogBucketDirs(wave: Int, buckets: Set[Int],
+                                bandZeroOnly: Boolean = false): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    backlogDirs(wave).flatMap { d =>
+      bkbChildren(d, conf).collect {
         // v == -1 is the per-host BOUNDS sidecar, never row data
         case (v, path) if v >= 0 && buckets.contains(v / (MaxBand + 1)) &&
             (!bandZeroOnly || v % (MaxBand + 1) == 0) => path
@@ -1043,20 +1048,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   private def backlogBoundsDirs(wave: Int): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     backlogDirs(wave).flatMap { d =>
-      val children = bucketDirCache.computeIfAbsent(d, { dd =>
-        val p = new org.apache.hadoop.fs.Path(dd)
-        val fs = p.getFileSystem(conf)
-        Frontier.fsListCount.incrementAndGet(); fsListOps.incrementAndGet()
-        if (!fs.exists(p)) Nil
-        else fs.listStatus(p).toSeq.flatMap { st =>
-          val n = st.getPath.getName
-          n.stripPrefix("bkb=").toIntOption match {
-            case Some(v) if n.startsWith("bkb=") => Some((v, st.getPath.toString))
-            case _                               => None
-          }
-        }
-      })
-      children.collect { case (v, path) if v == -1 => path }
+      bkbChildren(d, conf).collect { case (v, path) if v == -1 => path }
     }
   }
 
@@ -1366,10 +1358,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     val ranked = base.filter(col("fp").isNotNull)
       .unionByName(p1.filter(col("rn1") <= M).drop("rn1"))
       .withColumn("rank_in_host", row_number().over(w))
-      // broadcast keeps the big (windowed) side in ONE pipelined stage
-      // — a sort-merge join would put an AQE stage barrier + re-sort on
-      // every head row
-      .join(broadcast(cnts), Seq("host"), "left")
+      // NO broadcast hint: cnts has one row per unfenced host with head
+      // rows — on the first cut wave that is EVERY seed host, and at
+      // 10^8 hosts a forced broadcast collects gigabytes to the driver
+      // (same rule as the accounting joins below). Spark's stats pick a
+      // BHJ at small scale on their own; at large scale the host-keyed
+      // shuffle is the correct plan.
+      .join(cnts, Seq("host"), "left")
       .withColumn("has_next",
         coalesce(col("cnt") > col("rank_in_host"), lit(false)))
       .drop("cnt")
@@ -1391,7 +1386,16 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // case — disallowed at insert, re-allowed later — stays uncrawled
     // (insert-time seen membership is the documented semantics, shared
     // with the reference comparator).
-    val scheduled = applyRobots(scheduled0)
+    // with a real robots table the re-gate is a join against the parsed
+    // rules parquet, and BOTH the schedule write and discovery evaluate
+    // `scheduled` — persist so the join runs once per wave. Without
+    // robots the gate is identity (no extra plan node), so persisting
+    // would only duplicate the already-cached `ranked` blocks.
+    val scheduled = {
+      val s = applyRobots(scheduled0)
+      if (robots.isDefined) s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else s
+    }
     val scheduledOut = if (fast) scheduled else scheduled.orderBy("priority", "host", "surt_key")
     import scala.concurrent.Await
     import scala.concurrent.duration.Duration
@@ -1460,8 +1464,14 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     }
     val fState = Frontier.guarded {
       jd("wave:maint")
-      maintainFrontier(ranked, fencePrev, scheduled, fresh, wave, hasFences,
-        nFresh, saltDropped)
+      // scheduled0, NOT the robots-re-gated frame: the accounting needs
+      // the pre-gate SUPERSET so a host whose whole slice the re-gate
+      // suppressed still gets its per-host row — otherwise its bn>0
+      // backlog would never trigger needyCond and the host would starve
+      // permanently after a robots-snapshot change (consumed heads, no
+      // spill, no fresh ⇒ absent from stats ⇒ never refilled).
+      maintainFrontier(ranked, fencePrev, scheduled0, fresh, wave, hasFences,
+        saltDropped)
     }
     Await.result(fSched, Duration.Inf)
     Await.result(fSeen, Duration.Inf)
@@ -1472,6 +1482,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     base.unpersist(blocking = false)
     p1.unpersist(blocking = false)
     fencePrev.unpersist(blocking = false)
+    if (robots.isDefined) scheduled.unpersist(blocking = false)
     phase("state writes (head/fence/backlog+seen+shards, concurrent)")
 
     // scheduled count came from the write job's Observation; state-size
@@ -1553,7 +1564,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   private def maintainFrontier(ranked: DataFrame, fencePrev: DataFrame,
                                schedPreGate: DataFrame,
                                fresh: DataFrame, wave: Int,
-                               hasFences: Boolean, nFresh: Long,
+                               hasFences: Boolean,
                                saltDropped: DataFrame): Unit = {
     import spark.implicits._
     val debug = sys.env.get("GRAFT_DEBUG").contains("1")
@@ -1686,7 +1697,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         (lit(cfg.refillSpread) && col("hc") < 2L * budget &&
           pmod(xxhash64(col("host")), lit(spreadPeriod.toLong)) ===
             lit((wave % spreadPeriod).toLong)))
-    val recutCond = col("fp").isNotNull && col("hc") > 2L * M
+    // no fp.isNotNull gate: a host FIRST discovered this wave (fp null —
+    // no prior fence, no spill) whose fresh flood exceeds 2×M must be
+    // cut too, or the "head ≤ 2×M post-wave" bound fails for one wave
+    // per new hot host. Such a host is rf=false by construction (never
+    // refilled), so it takes the cheap path: its rank-M row becomes its
+    // FIRST fence (epoch 0) and bn = hc − M exactly.
+    val recutCond = col("hc") > 2L * M
 
     // 3. accounting FIRST (one job): the re-cut decision must fold
     // into the head/spill frames BEFORE they are written — deciding

@@ -602,6 +602,78 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
       "flood-only adversary took the epoch-bump path — cheap re-cut gate broken")
   }
 
+  test("robots snapshot change: a fully-suppressed host still refills (no permanent starvation)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // host0 carries most of the seed mass (cubic skew at hostPool=2),
+    // far more than M, so its backlog is deep after the wave-1 cut
+    val cfg = FrontierConfig(checkpointDir = tmpDir("robots-flip"),
+      hostBudget = 3, headMult = 2, seenShards = 8, backlogBuckets = 8,
+      outlinksPerUrl = 2, hostPool = 2)
+    val seeds = Frontier.syntheticSeeds(spark, 300, hostPool = 2)
+    val hosts = seeds.collect().flatMap(r =>
+      Option(graft.Functions.canonAllFn(r.getString(0))._3)).distinct.toSeq
+    val allowAll = hosts.map(h => (h, "User-agent: *\nAllow: /")).toDF("host", "robots_txt")
+    val fA = new Frontier(spark, cfg, Some(allowAll))
+    fA.initialize(seeds)
+    fA.runWave()
+    // deepest-backlog host is the starvation target
+    val tRow = fA.fenceTableDf(1).orderBy(col("bn").desc).select("host", "bn").head()
+    val (target, bn1) = (tRow.getString(0), tRow.getLong(1))
+    assert(bn1 > 0, "test shape broken: no host has a backlog after wave 1")
+
+    // resume under a NEW snapshot that disallows everything on the
+    // target: its whole scheduled slice is suppressed every wave
+    // (consumed, not fetched — RFC 9309 fetch-time semantics). The
+    // pre-gate accounting superset must still see the host, or
+    // needyCond never fires and it starves with bn>0 forever.
+    val disallowT = hosts.map(h => (h,
+      if (h == target) "User-agent: *\nDisallow: /" else "User-agent: *\nAllow: /"))
+      .toDF("host", "robots_txt")
+    val fB = new Frontier(spark, cfg, Some(disallowT))
+    fB.runWave()
+    assert(fB.scheduledDf(2).filter(col("host") === target).count() === 0,
+      "suppression did not happen — snapshot change not picked up")
+    val head2 = fB.headTableDf(2).filter(col("host") === target).count()
+    assert(head2 > 0,
+      "suppressed host was never refilled — it starves with a non-empty backlog")
+    // and the backlog actually drains across further waves (consumed-
+    // not-fetched), rather than sitting frozen behind an empty head
+    fB.runWave(); fB.runWave()
+    val bn4 = fB.fenceTableDf(4).filter(col("host") === target)
+      .select("bn").head().getLong(0)
+    assert(bn4 < bn1, s"backlog is not draining under suppression ($bn1 -> $bn4)")
+  }
+
+  test("late-discovered flood host (fp null): first-wave head already ≤ 2×M, first fence from the re-cut") {
+    // seeds deliberately EXCLUDE the adversary's target hosts (0-4), so
+    // the flood hits hosts with NO fence and NO prior state — the shape
+    // where the re-cut's fp-null eligibility is the only thing bounding
+    // the head (the schedule window never saw these hosts)
+    val cfg = FrontierConfig(checkpointDir = tmpDir("recut-newhost"),
+      hostBudget = 3, headMult = 2, seenShards = 8, backlogBuckets = 8,
+      outlinksPerUrl = 6, hostPool = 50, outlinkMode = "adversarial",
+      compactEvery = 6)
+    val f = new Frontier(spark, cfg)
+    val seeds = Frontier.syntheticSeeds(spark, 2000, hostPool = 50)
+      .filter(!org.apache.spark.sql.functions.col("url")
+        .rlike("host[0-4]\\.example"))
+    f.initialize(seeds)
+    val M = math.max(cfg.hostBudget, cfg.headMult * cfg.hostBudget)
+    f.runWave()
+    val heads = f.headTableDf(1).groupBy("host").count()
+    val mx = heads.agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(mx <= 2L * M, s"wave 1: a late-discovered host's head grew past 2M ($mx > ${2 * M})")
+    // non-vacuous: the flood hosts really were new (absent from wave-0
+    // state) and really were re-cut to their FIRST fence at epoch 0
+    val cutNew = f.fenceTableDf(1)
+      .filter(org.apache.spark.sql.functions.col("host").rlike("host[0-4]\\.example"))
+      .filter(org.apache.spark.sql.functions.col("rc") >= 1)
+    assert(cutNew.count() >= 1,
+      "no never-seeded host was re-cut — the adversarial flood missed the fp-null path")
+    assert(cutNew.agg(org.apache.spark.sql.functions.max("epoch")).head().getInt(0) === 0)
+  }
+
   test("pulse discovery (refill-then-flood): heads stay ≤ 2×M and the EPOCH-BUMP re-cut path fires") {
     // refillSpread=true: pulse bursts keep every head at/above budget,
     // so only the deamortized (hc < 2×budget) trigger interleaves a
