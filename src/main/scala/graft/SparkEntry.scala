@@ -30,7 +30,13 @@ object SparkEntry {
     implicit val spark: SparkSession = spark0
     import spark.implicits._
     Functions.registerAll(spark)
+    // the documents table is ONE small parquet file → a single scan
+    // task; the per-row work here (gzip serialize + reparse) is the
+    // query's whole cost, so spread it across the session's cores
+    // (row values are partition-independent; output order is fixed by
+    // the final sort)
     val docs = t(dir, "documents").select($"doc_id".cast("long"), $"text", $"source")
+      .repartition(spark.sparkContext.defaultParallelism)
     val cdx = docs.as[(Long, String, String)].mapPartitions { it =>
       it.flatMap { case (docId, text, source) =>
         // deterministic mini-capture: request+response pair per doc
@@ -232,7 +238,12 @@ object SparkEntry {
       // stage the signature table; the LSH band join + in-bucket verify
       // is re-derived in SQL over the staged copy (positional band/sig
       // equality), so the pair-generation logic is oracle-checked
-      val sigs = Dedup.minhashSignatures(t(dir, "documents"), "doc_id", "text")
+      // repartition: one small parquet file would run the signature
+      // UDF on a single task (values are row-local; staged CONTENT is
+      // unchanged, only file layout)
+      val sigs = Dedup.minhashSignatures(
+        t(dir, "documents").repartition(sp.sparkContext.defaultParallelism),
+        "doc_id", "text")
       sigs.write.mode("overwrite").parquet(StageDir + "/q21_minhash_sigs.parquet")
       Dedup.minhashPairsFromSignatures(
           sp.read.parquet(StageDir + "/q21_minhash_sigs.parquet"), threshold = 0.3)
@@ -259,7 +270,10 @@ object SparkEntry {
       // re-derives the winnowing selection (window min, rightmost tie,
       // consecutive dedup) in SQL. hsort flips the sign bit so signed
       // SQL ordering equals the kernel's unsigned comparison.
-      val docs = t(dir, "documents").select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      // repartition: the k-gram explosion (~300 rows/doc) and the
+      // winnowing UDF otherwise run on the single scan task
+      val docs = t(dir, "documents").select($"doc_id".cast("long"), $"text")
+        .repartition(sp.sparkContext.defaultParallelism).as[(Long, String)]
       val kg = docs.flatMap { case (id, txt) =>
         TextAnalysis.kgramHashes(txt, 8).iterator.zipWithIndex.map {
           case (h, i) => (id, i, h, h ^ Long.MinValue) }
@@ -294,13 +308,21 @@ object SparkEntry {
     "q26_ann_ivf" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val e = t(dir, "embeddings")
       val qv = e.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
-      val (indexed, centroids) = Similarity.ivfAssign(e.filter($"vec_id" =!= 0), "vec_id", "embedding", nlist = 16)
+      // kmeansIters = 0 (deterministic hash-sample seeding): with
+      // nprobe = nlist the probe is FULL, so the top-k output is the
+      // exact cosine ranking regardless of the coarse quantizer — the
+      // 5 Lloyd rounds were 5 driver collect jobs buying nothing here.
+      // The trained-quantizer path stays covered by SimilaritySpec.
+      val (indexed, centroids) = Similarity.ivfAssign(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        nlist = 16, kmeansIters = 0)
       Similarity.ivfTopK(indexed, centroids, "vec_id", "embedding", qv, k = 10, nprobe = 16)
         .select($"vec_id", round($"cosine", 4).as("cosine"))
         .orderBy($"cosine".desc, $"vec_id")
     }),
     "q27_ngram_jaccard" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
-      Dedup.ngramJaccardPairs(t(dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
+      Dedup.ngramJaccardPairs(
+        t(dir, "documents").repartition(sp.sparkContext.defaultParallelism),
+        "doc_id", "text", n = 3, threshold = 0.3)
         .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
         .orderBy($"id_a", $"id_b")
     }),
@@ -331,7 +353,12 @@ object SparkEntry {
       // Scratch: deleted at JVM exit (the returned DataFrame lazily
       // reads this checkpoint, so it must outlive the query)
       val ck = Scratch.dir("frontier-q29").toString
-      val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, hostBudget = 5, seenShards = 16)
+      // fastMode: skip observability-only jobs (sorted user-facing
+      // write, per-wave metrics, seen/pending state counts) — the
+      // query's output reads scheduledDf through its own total-order
+      // sort, so results are identical
+      val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, hostBudget = 5,
+        seenShards = 16, fastMode = true)
       val f = new graft.frontier.Frontier(sp, cfg)
       val n = t(dir, "documents").count().toInt.max(100)
       f.initialize(graft.frontier.Frontier.syntheticSeeds(sp, n))
@@ -369,8 +396,16 @@ object SparkEntry {
     // pipeline's output — checked at the operator's DEFAULT maxDist=6.
     "q31_image_neardup" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val n = t(dir, "documents").count()
-      val images = sp.range(n).map(i =>
-        graft.frontier.ImageSynth.makeRow(42L, i % 50).copy(image_id = f"img$i%08d")).toDF()
+      // makeRow is pure and this corpus repeats 50 base images — a
+      // per-partition memo renders+encodes each base once instead of
+      // once per row (identical rows; only redundant work removed)
+      val images = sp.range(n).mapPartitions { it =>
+        val cache = scala.collection.mutable.LongMap.empty[graft.frontier.ImageSynth.ImageRow]
+        it.map { i =>
+          cache.getOrElseUpdate(i % 50, graft.frontier.ImageSynth.makeRow(42L, i % 50))
+            .copy(image_id = f"img$i%08d")
+        }
+      }.toDF()
       val ph = Multimodal.imageFeatures(images).toDF()
         .filter($"decode_ok").select($"image_id", $"phash")
       ph.write.mode("overwrite").parquet(StageDir + "/q31_phash.parquet")
@@ -406,9 +441,15 @@ object SparkEntry {
     // Same staged-pending oracle pattern as q29 (wave 1 from pending 0).
     "q35_frontier_from_images" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       val n = t(dir, "documents").count()
-      val images = graft.frontier.ImageSynth.imagesTable(sp, n)
+      // seed projection of the images table: seedsFromImages reads only
+      // caption+phash, so the opaque generator's unused byte-encode is
+      // pruned by hand (identical column values — see imageSeedTable)
+      val images = graft.frontier.ImageSynth.imageSeedTable(sp, n)
       val ck = Scratch.dir("frontier-q35").toString
-      val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, hostBudget = 3, seenShards = 8)
+      // fastMode: observability-only jobs skipped; output identical
+      // (same rationale as q29)
+      val cfg = graft.frontier.FrontierConfig(checkpointDir = ck, hostBudget = 3,
+        seenShards = 8, fastMode = true)
       val f = new graft.frontier.Frontier(sp, cfg)
       f.initialize(graft.frontier.Frontier.seedsFromImages(images))
       val hm5 = udf((h: String) =>
@@ -426,6 +467,7 @@ object SparkEntry {
       // corpus: responses + revisits of every 5th doc (identical payload
       // digest); resolve each revisit to its original response record
       val docs = t(dir, "documents").select($"doc_id".cast("long"), $"text")
+        .repartition(sp.sparkContext.defaultParallelism) // spread gzip+parse off the single scan task
       val warcRows = docs.as[(Long, String)].mapPartitions { it =>
         it.flatMap { case (docId, text) =>
           val url = s"https://www.example.com/doc/$docId"
@@ -470,6 +512,7 @@ object SparkEntry {
     "q37_payload_decode" -> ((s, dir) => { implicit val sp = s; import sp.implicits._
       Functions.registerAll(sp)
       val docs = t(dir, "documents").select($"doc_id", $"text")
+        .repartition(sp.sparkContext.defaultParallelism) // gzip encode+decode off the single scan task
       // chunk-encode then gzip each text; decode_payload must invert both
       val encoded = docs.as[(Long, String)].map { case (id, text) =>
         val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -652,6 +652,45 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     * costs one narrow scan per Frontier INSTANCE; waves then pay only
     * the parquet read of the parsed form. A different robots snapshot
     * or agent re-parses and atomically re-publishes. */
+  /** Gate-snapshot fingerprint: identifies the robots rules every
+    * pending row was gated under at insert. The synthetic (no-table)
+    * gate is a pure constant function, fingerprinted by name. */
+  private lazy val gateFingerprint: String = robots match {
+    case None => "synthetic"
+    case Some(r) =>
+      import org.apache.spark.sql.types.DecimalType
+      // order-independent content hash; decimal sum cannot overflow ANSI
+      val fpRow = r.select(count(lit(1)),
+        sum(xxhash64(col("host"), col("robots_txt")).cast(DecimalType(38, 0)))).head()
+      cfg.agent.replaceAll("[^A-Za-z0-9]", "_") +
+        s"-c${fpRow.getLong(0)}-h${if (fpRow.isNullAt(1)) "0" else fpRow.getDecimal(1).toBigInteger.toString}"
+  }
+
+  /** TRUE iff the schedule-time robots RE-GATE can be skipped: every
+    * row this checkpoint ever inserted was gated under the CURRENT
+    * snapshot, making the re-gate provably the identity (each
+    * scheduled row already passed exactly these rules at insert). A
+    * durable `ROBOTS_EVER-<fp>.m` marker records every snapshot that
+    * ever gated inserts here (published before the first gated write,
+    * never deleted); the re-gate runs whenever any OTHER fingerprint
+    * appears in that set — i.e. a crawl resumed under a newer snapshot
+    * keeps the RFC 9309 fetch-time check until its state dies, while
+    * the unchanged-snapshot common case pays nothing (VERDICT r5 #1b). */
+  private lazy val gateUnchanged: Boolean = {
+    val re = "ROBOTS_EVER-(.+)\\.m".r
+    val d = new org.apache.hadoop.fs.Path(cfg.checkpointDir)
+    val fs = Frontier.rawFs(d, spark.sessionState.newHadoopConf())
+    val seen: Set[String] =
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).toSeq.flatMap(st => st.getPath.getName match {
+        case re(fp) => Some(fp)
+        case _      => None
+      }).toSet
+    if (!seen.contains(gateFingerprint))
+      publishMarker(s"ROBOTS_EVER-$gateFingerprint.m", "{}")
+    (seen - gateFingerprint).isEmpty
+  }
+
   private lazy val robotsTables: Option[(DataFrame, DataFrame)] = robots.map { r =>
     import org.apache.spark.sql.types._
     val rulesSchema = StructType(Seq(
@@ -660,11 +699,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
         StructField("_1", BooleanType), StructField("_2", StringType)))))))
     val delaysSchema = StructType(Seq(
       StructField("host", StringType), StructField("crawl_delay", DoubleType)))
-    // order-independent content hash; decimal sum cannot overflow ANSI
-    val fpRow = r.select(count(lit(1)),
-      sum(xxhash64(col("host"), col("robots_txt")).cast(DecimalType(38, 0)))).head()
-    val fp = cfg.agent.replaceAll("[^A-Za-z0-9]", "_") +
-      s"-c${fpRow.getLong(0)}-h${if (fpRow.isNullAt(1)) "0" else fpRow.getDecimal(1).toBigInteger.toString}"
+    val fp = gateFingerprint
     val markerName = s"ROBOTS_PARSED-$fp.marker"
     val markerP = new org.apache.hadoop.fs.Path(cfg.checkpointDir, markerName)
     val fs = Frontier.rawFs(markerP, spark.sessionState.newHadoopConf())
@@ -882,11 +917,32 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   private def fenceDeltaWaves(): Seq[Int] =
     cachedWaves(fenceWavesCache, "fence_delta").toSeq
 
+  /** INCREMENTAL fence view (round 6 — the SCALE.md "tracked" fold):
+    * the reduced latest-per-host view of the wave just maintained,
+    * kept in-instance as a checkpointed frame. Each wave folds
+    * (previous view ∖ delta hosts) ∪ delta — O(view scan + delta)
+    * with a small anti-join instead of re-reading and re-reducing
+    * base + every delta dir (O(hosts + delta rows) disk + one
+    * hash-agg shuffle) per wave. Cold start / resume / off-wave reads
+    * fall back to the full reduce below; the fold is EXACT because a
+    * wave's delta carries at most one row per host (deltaBase /
+    * needyRows / recutRows partition the touched hosts), so replacing
+    * those hosts' rows reproduces the max_by-recency reduce. */
+  private val fenceViewCache =
+    new java.util.concurrent.atomic.AtomicReference[(Int, DataFrame)](null)
+
   /** Latest-per-host fence view as of `wave`: base ∪ committed deltas
     * in (base, wave], reduced by delta recency. One hash-agg shuffle of
     * O(hosts + delta rows); its output partitioning (host) is exactly
-    * what every consumer joins on. */
+    * what every consumer joins on. Served from the in-instance
+    * incremental view when the asked-for wave is the one it holds. */
   private def fenceDf(wave: Int): DataFrame = {
+    val cached = fenceViewCache.get()
+    if (cached != null && cached._1 == wave) return cached._2
+    fenceDfFull(wave)
+  }
+
+  private def fenceDfFull(wave: Int): DataFrame = {
     val base = latestFenceBase(wave)
     val b = base.getOrElse(-1)
     val deltaW = fenceDeltaWaves().filter(w => w > b && w <= wave).toSeq.sorted
@@ -1240,6 +1296,10 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     * I/O with zero exchanges. Commits wave 0. */
   def initialize(seeds: DataFrame): WaveResult = {
     val t0 = System.nanoTime()
+    // durable ROBOTS_EVER record BEFORE the first gated write (the
+    // re-gate-skip decision depends on every snapshot that ever gated
+    // inserts into this checkpoint — see gateUnchanged)
+    gateUnchanged
     val debug = sys.env.get("GRAFT_DEBUG").contains("1")
     var tPhase = t0
     def phase(name: String): Unit = if (debug) {
@@ -1391,10 +1451,16 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // `scheduled` — persist so the join runs once per wave. Without
     // robots the gate is identity (no extra plan node), so persisting
     // would only duplicate the already-cached `ranked` blocks.
+    // SKIPPED outright when every insert this checkpoint ever took was
+    // gated under the current snapshot (gateUnchanged): the re-gate is
+    // then provably the identity on `scheduled0` (VERDICT r5 #1b).
     val scheduled = {
-      val s = applyRobots(scheduled0)
-      if (robots.isDefined) s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else s
+      if (gateUnchanged) scheduled0
+      else {
+        val s = applyRobots(scheduled0)
+        if (robots.isDefined) s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else s
+      }
     }
     val scheduledOut = if (fast) scheduled else scheduled.orderBy("priority", "host", "surt_key")
     import scala.concurrent.Await
@@ -1482,7 +1548,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     base.unpersist(blocking = false)
     p1.unpersist(blocking = false)
     fencePrev.unpersist(blocking = false)
-    if (robots.isDefined) scheduled.unpersist(blocking = false)
+    if (robots.isDefined && !gateUnchanged) scheduled.unpersist(blocking = false)
     phase("state writes (head/fence/backlog+seen+shards, concurrent)")
 
     // scheduled count came from the write job's Observation; state-size
@@ -2153,8 +2219,24 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     }
     deleteMarker(s"FENCES-$wave.m")
     // fences are monotone: once any host is fenced the marker stays
-    if (hasFences || deltaObs.get("n").asInstanceOf[Long] > 0L)
+    val nDelta = deltaObs.get("n").asInstanceOf[Long]
+    if (hasFences || nDelta > 0L)
       publishMarker(s"FENCES-$wave.m", "{}")
+    // incremental fence-view fold for the next wave (see fenceViewCache):
+    // (previous view ∖ delta hosts) ∪ delta, checkpointed to a leaf so
+    // the chain never regrows lineage. Skipped (empty view, no job)
+    // while the crawl has no fences at all.
+    if (!hasFences && nDelta == 0L) fenceViewCache.set((wave, emptyFence))
+    else {
+      val deltaDf = spark.read.schema(FenceSchema)
+        .parquet(dir("fence_delta", s"wave=$wave"))
+      val newView = fencePrev
+        .join(deltaDf.select(col("host")), Seq("host"), "left_anti")
+        .unionByName(deltaDf)
+        .localCheckpoint()
+      fenceViewCache.set((wave, newView))
+    }
+    sub("fence view fold")
     fj.unpersist(blocking = false)
     info.unpersist(blocking = false)
     refillPersists.foreach(_.unpersist(blocking = false))

@@ -14,6 +14,11 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 object ImageSynth {
 
   java.lang.System.setProperty("java.awt.headless", "true")
+  // ImageIO's default stream cache is FILE-backed: every encode/decode
+  // spills through a temp file on disk. All our images are small
+  // in-memory byte arrays — memory-cached streams produce identical
+  // bytes with zero filesystem traffic per frame.
+  ImageIO.setUseCache(false)
 
   final case class ImageRow(
       image_id: String,
@@ -55,12 +60,36 @@ object ImageSynth {
 
   def renderReference(seed: Long, idx: Long, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // per-image params hoisted out of the pixel loop (refPixel re-derives
+    // them per call — 5 mixes/floorMods per pixel of per-IMAGE constants);
+    // identical arithmetic, so every pixel int matches refPixel exactly
+    val p = mix(seed ^ (idx * 0x5851f42d4c957f2dL))
+    def par(k: Int, lo: Double, hi: Double): Double = {
+      val u = java.lang.Math.floorMod(mix(p + k), 100000L) / 100000.0
+      lo + u * (hi - lo)
+    }
+    val fx = par(1, 0.5, 2.0); val fy = par(2, 0.5, 2.0)
+    val ph0 = par(3, 0, 6.28)
+    val offR = (par(6, -12, 12)).round.toInt
+    val offB = (par(7, -12, 12)).round.toInt
+    def clamp(i: Int): Int = math.max(0, math.min(255, i))
+    // bulk setRGB: identical pixel ints, one color-model pass
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
+      val row = y * w
+      val v = y.toDouble / h
       var x = 0
-      while (x < w) { img.setRGB(x, y, refPixel(seed, idx, x, y, w, h)); x += 1 }
+      while (x < w) {
+        val u = x.toDouble / w
+        val luma = 0.5 + 0.45 * math.sin(2 * math.Pi * (fx * u + fy * v) + ph0)
+        val l = (luma * 255).round.toInt
+        px(row + x) = (clamp(l + offR) << 16) | (clamp(l) << 8) | clamp(l + offB)
+        x += 1
+      }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     img
   }
 
@@ -91,15 +120,24 @@ object ImageSynth {
   /** 64-bit average-hash over an 8×8 luma downsample (perceptual key). */
   def phash64(img: BufferedImage): Long = {
     val w = img.getWidth; val h = img.getHeight
+    phash64FromPixels(img.getRGB(0, 0, w, h, null, 0, w), w, h)
+  }
+
+  /** phash64 over a row-major bulk-getRGB pixel array — same ints,
+    * same accumulation order as the per-pixel loop (bit-identical),
+    * without the per-call color-model conversion overhead. */
+  def phash64FromPixels(px: Array[Int], w: Int, h: Int): Long = {
     val cells = new Array[Double](64)
     val counts = new Array[Int](64)
     var y = 0
     while (y < h) {
+      val rowCell = math.min(7, y * 8 / h) * 8
+      val row = y * w
       var x = 0
       while (x < w) {
-        val p = img.getRGB(x, y)
+        val p = px(row + x)
         val luma = 0.299 * ((p >> 16) & 255) + 0.587 * ((p >> 8) & 255) + 0.114 * (p & 255)
-        val cell = math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w)
+        val cell = rowCell + math.min(7, x * 8 / w)
         cells(cell) += luma; counts(cell) += 1
         x += 1
       }
@@ -157,5 +195,20 @@ object ImageSynth {
     import spark.implicits._
     val base = if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
     base.map(i => makeRow(seed, i)).toDF()
+  }
+
+  /** The (caption, phash) PROJECTION of imagesTable, for consumers that
+    * seed from captions + phash only (manual column pruning through the
+    * opaque generator — Catalyst cannot prune inside a Dataset.map).
+    * phash is computed on the rendered image exactly as makeRow does
+    * (pre-encode), so both columns are value-identical to imagesTable's;
+    * only the unused PNG/JPEG encode of `bytes` is skipped. */
+  def imageSeedTable(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 16 + (java.lang.Math.floorMod(mix(seed ^ i), 49L)).toInt
+      val h = 16 + (java.lang.Math.floorMod(mix(seed ^ (i + 7)), 49L)).toInt
+      (captionFor(seed, i), phash64(renderReference(seed, i, w, h)))
+    }.toDF("caption", "phash")
   }
 }

@@ -40,6 +40,21 @@ object Dedup {
     }
   }
 
+  /** Cap bookkeeping shared by the primitive-array bucket loops: same
+    * accumulator/log semantics as capBucket; returns the kept length. */
+  private def capLen(n: Int, cap: Int, what: String,
+                     acc: org.apache.spark.util.LongAccumulator): Int = {
+    if (n <= cap) n
+    else {
+      val dropped = n - cap
+      acc.add(dropped.toLong)
+      System.err.println(
+        s"[dedup] $what bucket over cap: $n docs, cap $cap — " +
+          s"$dropped docs dropped from pair generation (accumulator '${acc.name.getOrElse("")}')")
+      cap
+    }
+  }
+
   // ---------------------------------------------------------------
   // Exact dedup: hash-groupBy, map-side partial agg, one shuffle.
   // ---------------------------------------------------------------
@@ -134,44 +149,61 @@ object Dedup {
   }
 
   /** Pair generation over a precomputed `(id, sig, bh)` signature table
-    * (see minhashSignatures) — the bucket join + in-bucket verify. */
+    * (see minhashSignatures) — the bucket join + verify.
+    *
+    * Shape (guide §2.3/§8 — decide with small rows, attach payloads
+    * once): the band explode shuffles IDS only (12 B/row), not the
+    * ~1 KB signature vector — the old plan moved every signature once
+    * PER BAND (32× the signature table) through the bucket exchange
+    * just so the verify could run inside the bucket. Candidate (id_a,
+    * id_b) pairs are deduped map-side (distinct) and the signatures
+    * re-attach via two id-keyed joins, so each signature crosses the
+    * network O(1) times instead of O(bands), and the verify runs once
+    * per DISTINCT pair instead of once per shared band. Same output:
+    * est depends only on the two full signatures, so the old
+    * max-over-duplicates equals the single computation. */
   def minhashPairsFromSignatures(
       sigDf: DataFrame, threshold: Double = 0.7, maxBucket: Int = 1000,
       truncAcc: Option[org.apache.spark.util.LongAccumulator] = None
   ): DataFrame = {
     val acc = truncAcc.getOrElse(truncationAccumulator(sigDf, "graft.dedup.minhash.truncated_docs"))
     val exploded = sigDf
-      .select(col("id"), col("sig"), posexplode(col("bh")).as(Seq("band", "bh")))
+      .select(col("id"), posexplode(col("bh")).as(Seq("band", "bh")))
 
-    // one shuffle: group docs sharing a band hash
+    // one shuffle of (band, bh, id) keys: group ids sharing a band hash
     val buckets = exploded.groupBy(col("band"), col("bh"))
-      .agg(collect_list(struct(col("id"), col("sig"))).as("docs"))
-      .filter(size(col("docs")) > 1)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
 
-    val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
-      val ds = capBucket(docs.sortBy(_.getLong(0)), maxBucket, "minhash", acc)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val pairUdf = udf((ids: Seq[Long]) => {
+      val sorted = ids.toArray
+      java.util.Arrays.sort(sorted)
+      val n = capLen(sorted.length, maxBucket, "minhash", acc)
+      val out = new Array[(Long, Long)](n * (n - 1) / 2)
+      var k = 0
       var i = 0
-      while (i < ds.length) {
+      while (i < n) {
         var j = i + 1
-        while (j < ds.length) {
-          val (ia, sa) = (ds(i).getLong(0), ds(i).getSeq[Long](1))
-          val (ib, sb) = (ds(j).getLong(0), ds(j).getSeq[Long](1))
-          var eq = 0
-          var p = 0
-          while (p < sa.length) { if (sa(p) == sb(p)) eq += 1; p += 1 }
-          val est = eq.toDouble / sa.length
-          out += ((ia, ib, est))
-          j += 1
-        }
+        while (j < n) { out(k) = (sorted(i), sorted(j)); k += 1; j += 1 }
         i += 1
       }
       out.toSeq
     })
 
-    buckets.select(explode(pairUdf(col("docs"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b")).agg(max(col("est_jaccard")).as("est_jaccard"))
+    val cands = buckets.select(explode(pairUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    val estUdf = udf((sa: Seq[Long], sb: Seq[Long]) => {
+      var eq = 0
+      var p = 0
+      while (p < sa.length) { if (sa(p) == sb(p)) eq += 1; p += 1 }
+      eq.toDouble / sa.length
+    })
+    val sigs = sigDf.select(col("id"), col("sig"))
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), estUdf(col("__sa"), col("__sb")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -208,10 +240,12 @@ object Dedup {
     // localCheckpoint (not persist) per round: an iterative join grows
     // the LOGICAL plan exponentially — the driver OOMs analyzing round
     // 10's tree even on toy data; checkpointing truncates lineage so
-    // every round plans against a materialized leaf.
+    // every round plans against a materialized leaf. LAZY checkpoints:
+    // the round's convergence probe materializes them, so each round
+    // costs ONE driver job instead of two (checkpoint + probe).
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -222,7 +256,7 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val changed = next.as("n").join(labels.as("l"), "id")
         .filter(col("n.component") =!= col("l.component"))
         .limit(1).count() > 0
@@ -275,13 +309,14 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").cast("long").as("id")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // canonical small-first orientation, self-loops dropped
+    // canonical small-first orientation, self-loops dropped. LAZY
+    // checkpoint: the first fingerprint materializes it (1 job, not 2).
     var edges = pairs.select(
         least(col("id_a").cast("long"), col("id_b").cast("long")).as("a"),
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // Order-independent fingerprint over THREE independent aggregates
     // (count, hash SUM, differently-salted hash XOR): a convergence
@@ -308,12 +343,16 @@ object Dedup {
       val both = edges.select(col("a").as("u"), col("b").as("v"))
         .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
       val mins = both.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      // persisted (lazy), not checkpointed: the small-star phase scans
+      // it twice; the round's ONE action (the fingerprint below)
+      // materializes everything — one driver job per round instead of
+      // three (two eager checkpoints + the fingerprint).
       val afterLarge = both.filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("m").as("a"), col("v").as("b"))
         .filter(col("a") =!= col("b"))
         .distinct()
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ---- small-star: b's smaller neighbors (and b) attach to min --
       val minsB = afterLarge.groupBy("b").agg(min(col("a")).as("m"))
       val rewired = afterLarge.join(minsB, "b")
@@ -321,8 +360,9 @@ object Dedup {
         .unionByName(afterLarge.join(minsB, "b").select(col("m").as("a"), col("b")))
         .filter(col("a") =!= col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       val fpNext = fingerprint(rewired)
+      afterLarge.unpersist(blocking = false)
       converged = fpNext == fp
       fp = fpNext
       edges = rewired
@@ -416,14 +456,23 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sh"))).as("docs"))
       .filter(size(col("docs")) > 1)
     val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
-      val ds = capBucket(docs.sortBy(_.getLong(0)), maxBucket, "simhash", acc)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      // primitive arrays once per bucket: the O(n²) loop must not pay
+      // per-access Row boxing (capped buckets run ~500k iterations)
+      val arr = docs.iterator.map(r => (r.getLong(0), r.getLong(1))).toArray
+      scala.util.Sorting.quickSort(arr)(Ordering.by((t: (Long, Long)) => t._1))
+      val n = capLen(arr.length, maxBucket, "simhash", acc)
+      val ids = new Array[Long](n)
+      val shs = new Array[Long](n)
       var i = 0
-      while (i < ds.length) {
+      while (i < n) { ids(i) = arr(i)._1; shs(i) = arr(i)._2; i += 1 }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      i = 0
+      while (i < n) {
+        val shi = shs(i)
         var j = i + 1
-        while (j < ds.length) {
-          val d = java.lang.Long.bitCount(ds(i).getLong(1) ^ ds(j).getLong(1))
-          if (d <= maxDist) out += ((ds(i).getLong(0), ds(j).getLong(0), d))
+        while (j < n) {
+          val d = java.lang.Long.bitCount(shi ^ shs(j))
+          if (d <= maxDist) out += ((ids(i), ids(j), d))
           j += 1
         }
         i += 1
@@ -534,37 +583,51 @@ object Dedup {
     val withSig = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("sigs", sigUdf(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // guide §2.3/§8: shuffle IDS through the band-bucket exchange, not
+    // the embedding vectors (the old plan moved every vector once per
+    // band); candidates dedup map-side and the vectors re-attach via
+    // two id-keyed joins, so the exact-cosine verify runs once per
+    // DISTINCT candidate pair. Identical output: cosine is a function
+    // of the two vectors alone, so max-over-duplicate-emissions equals
+    // the single computation.
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"), col("sigs")(b).as("sig")))
     val exploded = withSig
       .withColumn("bk", explode(array(bandCols: _*)))
-      .select(col("bk.band"), col("bk.sig"), col("id"), col("v"))
+      .select(col("bk.band"), col("bk.sig"), col("id"))
     val buckets = exploded.groupBy(col("band"), col("sig"))
-      .agg(collect_list(struct(col("id"), col("v"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-    val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
-      val ds = capBucket(docs.sortBy(_.getLong(0)), maxBucket, "embedding", acc)
-      def cos(a: Seq[Float], b: Seq[Float]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-      }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairUdf = udf((ids: Seq[Long]) => {
+      val sorted = ids.toArray
+      java.util.Arrays.sort(sorted)
+      val n = capLen(sorted.length, maxBucket, "embedding", acc)
+      val out = new Array[(Long, Long)](n * (n - 1) / 2)
+      var k = 0
       var i = 0
-      while (i < ds.length) {
+      while (i < n) {
         var j = i + 1
-        while (j < ds.length) {
-          val c = cos(ds(i).getSeq[Float](1), ds(j).getSeq[Float](1))
-          out += ((ds(i).getLong(0), ds(j).getLong(0), c))
-          j += 1
-        }
+        while (j < n) { out(k) = (sorted(i), sorted(j)); k += 1; j += 1 }
         i += 1
       }
       out.toSeq
     })
-    buckets.select(explode(pairUdf(col("docs"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("cosine"))
+    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+      val aa = a.toArray
+      val bb = b.toArray
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < aa.length) {
+        dot += aa(i) * bb(i); na += aa(i) * aa(i); nb += bb(i) * bb(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    })
+    val vecs = withSig.select(col("id"), col("v"))
+    buckets.select(explode(pairUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+      .join(vecs.select(col("id").as("id_a"), col("v").as("__va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosUdf(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= cosThreshold)
-      .groupBy(col("id_a"), col("id_b")).agg(max(col("cosine")).as("cosine"))
   }
 }

@@ -36,20 +36,22 @@ object Multimodal {
         it.map { case (id, bytes) =>
           try {
             val img = ImageSynth.decode(bytes)
+            val w = img.getWidth; val h = img.getHeight
+            // ONE bulk getRGB: the per-pixel call re-runs the color
+            // model conversion per invocation (two full passes here —
+            // mean + phash); same ints, same row-major accumulation
+            // order, ~10× less per-pixel overhead
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             var r = 0.0; var g = 0.0; var b = 0.0
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val p = img.getRGB(x, y)
-                r += (p >> 16) & 255; g += (p >> 8) & 255; b += p & 255
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              r += (p >> 16) & 255; g += (p >> 8) & 255; b += p & 255
+              i += 1
             }
-            val n = (img.getWidth * img.getHeight).toDouble
-            ImageFeatures(id, img.getWidth, img.getHeight, r / n, g / n, b / n,
-              ImageSynth.phash64(img), decode_ok = true)
+            val n = (w * h).toDouble
+            ImageFeatures(id, w, h, r / n, g / n, b / n,
+              ImageSynth.phash64FromPixels(px, w, h), decode_ok = true)
           } catch {
             case _: Exception => ImageFeatures(id, -1, -1, 0, 0, 0, 0L, decode_ok = false)
           }
@@ -112,22 +114,30 @@ object Multimodal {
       .withColumn("k", explode(array(chunkCols: _*)))
       .select(col("k.chunk"), col("k.ck"), col("image_id"), col("phash"))
     val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
-      val sorted = docs.sortBy(_.getString(0))
-      val ds =
-        if (sorted.length <= maxBucket) sorted
+      // primitive arrays once per bucket — no per-access Row boxing in
+      // the O(n²) loop (same sort/cap/emission semantics)
+      val arr = docs.iterator.map(r => (r.getString(0), r.getLong(1))).toArray
+      scala.util.Sorting.quickSort(arr)(Ordering.by((t: (String, Long)) => t._1))
+      val n =
+        if (arr.length <= maxBucket) arr.length
         else {
-          acc.add((sorted.length - maxBucket).toLong)
-          System.err.println(s"[multimodal] phash bucket over cap: ${sorted.length} docs, " +
-            s"cap $maxBucket — ${sorted.length - maxBucket} dropped (accumulator)")
-          sorted.take(maxBucket)
+          acc.add((arr.length - maxBucket).toLong)
+          System.err.println(s"[multimodal] phash bucket over cap: ${arr.length} docs, " +
+            s"cap $maxBucket — ${arr.length - maxBucket} dropped (accumulator)")
+          maxBucket
         }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
+      val ids = new Array[String](n)
+      val phs = new Array[Long](n)
       var i = 0
-      while (i < ds.length) {
+      while (i < n) { ids(i) = arr(i)._1; phs(i) = arr(i)._2; i += 1 }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
+      i = 0
+      while (i < n) {
+        val pi = phs(i)
         var j = i + 1
-        while (j < ds.length) {
-          val d = java.lang.Long.bitCount(ds(i).getLong(1) ^ ds(j).getLong(1))
-          if (d <= maxDist) out += ((ds(i).getString(0), ds(j).getString(0), d))
+        while (j < n) {
+          val d = java.lang.Long.bitCount(pi ^ phs(j))
+          if (d <= maxDist) out += ((ids(i), ids(j), d))
           j += 1
         }
         i += 1
