@@ -1788,7 +1788,11 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     // (writes invisible until commit).
     val (info, nNeedy, nRecut, nRecutEpoch) = locally {
       jd("maint:accounting")
-      val ck = info0.localCheckpoint()
+      // LAZY checkpoint: the accounting aggregate right below is the
+      // first action and materializes it — one driver job instead of
+      // two (eager checkpoint + agg), same truncated-leaf semantics
+      // for every later reference
+      val ck = info0.localCheckpoint(false)
       val r = ck.agg(
         sum(when(needyCond, 1L).otherwise(0L)),
         sum(when(recutCond, 1L).otherwise(0L)),

@@ -240,12 +240,13 @@ object Dedup {
     // localCheckpoint (not persist) per round: an iterative join grows
     // the LOGICAL plan exponentially — the driver OOMs analyzing round
     // 10's tree even on toy data; checkpointing truncates lineage so
-    // every round plans against a materialized leaf. LAZY checkpoints:
-    // the round's convergence probe materializes them, so each round
-    // costs ONE driver job instead of two (checkpoint + probe).
+    // every round plans against a materialized leaf. EAGER on purpose:
+    // a lazily-checkpointed round was measured ~2x slower here — the
+    // downstream probe/fingerprint then plans against an unmaterialized
+    // subtree without size stats, losing broadcast choices.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -256,7 +257,7 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val changed = next.as("n").join(labels.as("l"), "id")
         .filter(col("n.component") =!= col("l.component"))
         .limit(1).count() > 0
@@ -309,14 +310,15 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").cast("long").as("id")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // canonical small-first orientation, self-loops dropped. LAZY
-    // checkpoint: the first fingerprint materializes it (1 job, not 2).
+    // canonical small-first orientation, self-loops dropped. EAGER
+    // checkpoint (see note above): the fingerprint then runs over a
+    // materialized leaf with real stats.
     var edges = pairs.select(
         least(col("id_a").cast("long"), col("id_b").cast("long")).as("a"),
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint()
 
     // Order-independent fingerprint over THREE independent aggregates
     // (count, hash SUM, differently-salted hash XOR): a convergence
@@ -343,16 +345,17 @@ object Dedup {
       val both = edges.select(col("a").as("u"), col("b").as("v"))
         .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
       val mins = both.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
-      // persisted (lazy), not checkpointed: the small-star phase scans
-      // it twice; the round's ONE action (the fingerprint below)
-      // materializes everything — one driver job per round instead of
-      // three (two eager checkpoints + the fingerprint).
+      // eager per-phase checkpoints ON PURPOSE (round-6 measurement):
+      // fusing a round into one lazy persist/checkpoint chain halved
+      // the job count but ran ~2x SLOWER — the phase leaf's real
+      // materialized size is what lets the small-star joins stay
+      // broadcast; a stats-less fused round degrades them.
       val afterLarge = both.filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("m").as("a"), col("v").as("b"))
         .filter(col("a") =!= col("b"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       // ---- small-star: b's smaller neighbors (and b) attach to min --
       val minsB = afterLarge.groupBy("b").agg(min(col("a")).as("m"))
       val rewired = afterLarge.join(minsB, "b")
@@ -360,9 +363,8 @@ object Dedup {
         .unionByName(afterLarge.join(minsB, "b").select(col("m").as("a"), col("b")))
         .filter(col("a") =!= col("b"))
         .distinct()
-        .localCheckpoint(false)
+        .localCheckpoint()
       val fpNext = fingerprint(rewired)
-      afterLarge.unpersist(blocking = false)
       converged = fpNext == fp
       fp = fpNext
       edges = rewired
