@@ -639,14 +639,14 @@ object SparkEntry {
         "doc_id", "text", maxDist = 4)
         .select($"id_a", $"id_b")
       pairs.write.mode("overwrite").parquet(StageDir + "/q42_pairs.parquet")
-      // maxIter 50: the near-dup graph can chain similar documents
-      // into components of diameter > 10; the loop exits early on
-      // convergence, so headroom costs nothing — and requireConverged
-      // turns any residual non-convergence into a loud failure instead
-      // of a silent oracle mismatch
-      Dedup.keepPerComponent(Dedup.connectedComponents(
-          sp.read.parquet(StageDir + "/q42_pairs.parquet"),
-          maxIter = 50, requireConverged = true))
+      // large-star/small-star directly: this corpus chains similar
+      // documents into components of diameter ~14, where min-label
+      // propagation needs ~15 rounds (measured: 15 driver jobs + round
+      // shuffles) while the star scheme converges in O(log d) rounds.
+      // Both are exact (component = min reachable id), so the output is
+      // row-identical — the recursive-CTE oracle re-checks it.
+      Dedup.keepPerComponent(Dedup.connectedComponentsStar(
+          sp.read.parquet(StageDir + "/q42_pairs.parquet")))
         .orderBy($"id")
     }),
     // ---- connected components via LARGE-STAR/SMALL-STAR over an
