@@ -676,7 +676,7 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     * appears in that set — i.e. a crawl resumed under a newer snapshot
     * keeps the RFC 9309 fetch-time check until its state dies, while
     * the unchanged-snapshot common case pays nothing (VERDICT r5 #1b). */
-  private lazy val gateUnchanged: Boolean = {
+  private[frontier] lazy val gateUnchanged: Boolean = {
     val re = "ROBOTS_EVER-(.+)\\.m".r
     val d = new org.apache.hadoop.fs.Path(cfg.checkpointDir)
     val fs = Frontier.rawFs(d, spark.sessionState.newHadoopConf())

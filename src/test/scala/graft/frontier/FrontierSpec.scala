@@ -741,6 +741,53 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("seen shards"))
   }
 
+  test("fence view is folded incrementally in-instance: O(delta) input, content equals full read") {
+    val ck = tmpDir("fencefold")
+    val cfg = FrontierConfig(checkpointDir = ck, hostBudget = 3, headMult = 2,
+      seenShards = 8, backlogBuckets = 8, hostPool = 60)
+    val f = new Frontier(spark, cfg)
+    f.initialize(Frontier.syntheticSeeds(spark, 1500, hostPool = 60))
+    (1 to 3).foreach(_ => f.runWave())
+    val view = f.fenceTableDf(3)
+    // served from the in-instance fold: a checkpointed leaf, NOT a
+    // re-read of fence_base + every fence_delta dir (the O(hosts +
+    // delta-dirs) per-wave reduce the round-6 fold removes)
+    val leaves = view.queryExecution.analyzed.collectLeaves().map(_.nodeName)
+    assert(leaves.forall(_ == "LogicalRDD"),
+      s"wave-current fence view should be the folded in-instance leaf, got: $leaves")
+    // and it must be row-identical to the cold full-read path
+    val cold = new Frontier(spark, cfg) // fresh instance: no cache → full reduce
+    val a = view.collect().map(_.toString).sorted
+    val b = cold.fenceTableDf(3).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "incremental fence view diverged from full read")
+    assert(a.nonEmpty, "vacuous: no fenced hosts in this shape")
+  }
+
+  test("robots re-gate skips only while the checkpoint has a single gate snapshot") {
+    import spark.implicits._
+    val ck = tmpDir("regateskip")
+    val cfg = FrontierConfig(checkpointDir = ck, hostBudget = 3, seenShards = 8)
+    val seeds = Frontier.syntheticSeeds(spark, 300)
+    val f = new Frontier(spark, cfg)
+    f.initialize(seeds)
+    // single (synthetic) snapshot ever → re-gate is provably identity
+    assert(f.gateUnchanged, "first instance must see only its own snapshot")
+    f.runWave()
+    // resume with the SAME gate: still skippable
+    val f2 = new Frontier(spark, cfg)
+    assert(f2.gateUnchanged, "same-snapshot resume must keep the skip")
+    // resume with a DIFFERENT gate (real robots table): pending rows
+    // were inserted under the synthetic gate, so the re-gate must run
+    val hosts = f.pendingDf(1).select("host").distinct().as[String].collect().toSeq
+    val robots = hosts.map(h => (h, "User-agent: *\nDisallow: /seed\n")).toDF("host", "robots_txt")
+    val f3 = new Frontier(spark, cfg, robots = Some(robots))
+    assert(!f3.gateUnchanged,
+      "changed snapshot must disable the re-gate skip (RFC 9309 fetch-time check)")
+    // and from now on the checkpoint is permanently multi-snapshot
+    val f4 = new Frontier(spark, cfg, robots = Some(robots))
+    assert(!f4.gateUnchanged, "multi-snapshot history must keep the re-gate on")
+  }
+
   test("wave-loop driver listings are cached: per-wave FS list calls flat in crawl length") {
     val cfg = FrontierConfig(checkpointDir = tmpDir("listcache"),
       hostBudget = 3, headMult = 2, seenShards = 8, backlogBuckets = 8,
