@@ -585,51 +585,50 @@ object Dedup {
     val withSig = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("sigs", sigUdf(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // guide §2.3/§8: shuffle IDS through the band-bucket exchange, not
-    // the embedding vectors (the old plan moved every vector once per
-    // band); candidates dedup map-side and the vectors re-attach via
-    // two id-keyed joins, so the exact-cosine verify runs once per
-    // DISTINCT candidate pair. Identical output: cosine is a function
-    // of the two vectors alone, so max-over-duplicate-emissions equals
-    // the single computation.
+    // Exchange layout (measured round 6): vectors ride the band-bucket
+    // exchange once per band. The id-only variant (candidates deduped,
+    // vectors re-attached via two id-keyed joins — the q21 minhash
+    // shape) was tried and ran ~2x SLOWER here: at bands=6 and
+    // ~256 B/vector the duplicated payload is small, while the extra
+    // distinct + two join exchanges are pure fixed cost. The id-join
+    // shape wins when vectors are large (high dim) or bands many —
+    // minhash (32 bands × 1 KB signatures) uses it; this operator keeps
+    // the single exchange. In-bucket verify converts each bucket ONCE
+    // to primitive arrays (no per-access Row/Seq boxing in the O(n²)
+    // cosine loop; identical FP order → bit-identical cosines).
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"), col("sigs")(b).as("sig")))
     val exploded = withSig
       .withColumn("bk", explode(array(bandCols: _*)))
-      .select(col("bk.band"), col("bk.sig"), col("id"))
+      .select(col("bk.band"), col("bk.sig"), col("id"), col("v"))
     val buckets = exploded.groupBy(col("band"), col("sig"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairUdf = udf((ids: Seq[Long]) => {
-      val sorted = ids.toArray
-      java.util.Arrays.sort(sorted)
-      val n = capLen(sorted.length, maxBucket, "embedding", acc)
-      val out = new Array[(Long, Long)](n * (n - 1) / 2)
-      var k = 0
+      .agg(collect_list(struct(col("id"), col("v"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val pairUdf = udf((docs: Seq[org.apache.spark.sql.Row]) => {
+      val arr = docs.iterator
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toArray
+      scala.util.Sorting.quickSort(arr)(Ordering.by((t: (Long, Array[Float])) => t._1))
+      val n = capLen(arr.length, maxBucket, "embedding", acc)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       var i = 0
       while (i < n) {
         var j = i + 1
-        while (j < n) { out(k) = (sorted(i), sorted(j)); k += 1; j += 1 }
+        while (j < n) {
+          out += ((arr(i)._1, arr(j)._1, cos(arr(i)._2, arr(j)._2)))
+          j += 1
+        }
         i += 1
       }
       out.toSeq
     })
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-      val aa = a.toArray
-      val bb = b.toArray
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < aa.length) {
-        dot += aa(i) * bb(i); na += aa(i) * aa(i); nb += bb(i) * bb(i); i += 1
-      }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-    })
-    val vecs = withSig.select(col("id"), col("v"))
-    buckets.select(explode(pairUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
-      .join(vecs.select(col("id").as("id_a"), col("v").as("__va")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("__vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), cosUdf(col("__va"), col("__vb")).as("cosine"))
+    buckets.select(explode(pairUdf(col("docs"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("cosine"))
       .filter(col("cosine") >= cosThreshold)
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("cosine")).as("cosine"))
   }
 }
