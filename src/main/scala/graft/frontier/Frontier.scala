@@ -438,6 +438,19 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     Frontier.rawFs(p, spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Content of a published marker, or None when absent/unreadable. */
+  private def readMarker(name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(cfg.checkpointDir, name)
+    try {
+      val fs = Frontier.rawFs(p, spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+    } catch { case _: Exception => None }
+  }
+
   private def deleteMarker(name: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(cfg.checkpointDir, name)
     try { Frontier.rawFs(p, spark.sessionState.newHadoopConf()).delete(p, false); () }
@@ -1008,7 +1021,47 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     * rows it dominated the deep-crawl wave cost. */
   private def backlogRuns(wave: Int): Seq[Int] = {
     val re = "BACKLOG_BASE-(\\d+)\\.json".r
-    listMarkerWaves(re).filter(_ <= wave).toSeq.sorted
+    val marked = listMarkerWaves(re)
+    // a run claimed as `folded` by any marker is fully contained in the
+    // claiming run: reading it would duplicate every merged row. The
+    // claim (not the folded marker's deletion) is the commit — a crash
+    // between the new marker's publish and the folded markers' GC must
+    // not resurrect them.
+    val folded = marked.flatMap(foldedClaims).toSet
+    marked.filterNot(folded).filter(_ <= wave).toSeq.sorted
+  }
+
+  /** Run ids the BACKLOG_BASE-`run` marker claims to have folded into
+    * itself (empty for pre-tiering markers without the field). Cached:
+    * marker content is immutable once published. */
+  private def foldedClaims(run: Int): Seq[Int] =
+    foldedClaimsCache.computeIfAbsent(run, { r =>
+      readMarker(s"BACKLOG_BASE-$r.json").toSeq.flatMap { js =>
+        FoldedRe.findFirstMatchIn(js).toSeq.flatMap(
+          _.group(1).split(",").toSeq.map(_.trim).flatMap(_.toIntOption))
+      }
+    })
+
+  private val FoldedRe = """"folded"\s*:\s*\[([0-9,\s]*)\]""".r
+  private val foldedClaimsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
+
+  /** Finish an interrupted backlog-merge GC: delete the marker + dir of
+    * every run some present marker claims as folded (their rows live in
+    * the claiming run; `backlogRuns` already refuses to read them). */
+  private def healFoldedBacklog(): Unit = {
+    val re = "BACKLOG_BASE-(\\d+)\\.json".r
+    val marked = listMarkerWaves(re).toSet
+    val claimed = marked.toSeq.flatMap(foldedClaims).toSet
+    val conf = spark.sessionState.newHadoopConf()
+    (claimed & marked).foreach { b =>
+      deleteMarker(s"BACKLOG_BASE-$b.json")
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir("backlog_base", s"upto=$b"))
+        p.getFileSystem(conf).delete(p, true); ()
+      } catch { case _: Exception => }
+      bucketDirCache.remove(dir("backlog_base", s"upto=$b"))
+    }
   }
 
   private def latestBacklogBase(wave: Int): Option[Int] =
@@ -1130,9 +1183,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     * measured linear at 20M→40M pending) and their static settle
     * check stopped working once fences rose past the first band.
     * Marker-published; readers enumerate (runs, deltas > newest run)
-    * so a crash anywhere leaves only unread garbage. */
+    * and a merge's marker CLAIMS the runs it folded (`"folded":[..]`)
+    * so readers exclude them even before their markers are GC'd — a
+    * crash anywhere leaves only unread garbage, never a duplicate. */
   def compactBacklog(upTo: Int): Unit = {
     require(upTo <= latestCommittedWave(), s"wave $upTo not committed yet")
+    healFoldedBacklog() // before the early return: a retry after a
+    // crash-between-publish-and-GC must still finish the folded GC
     if (latestBacklogBase(upTo).contains(upTo)) return
     sweepOrphanBases("backlog_base", "BACKLOG_BASE-")
     val runs = backlogRuns(upTo)
@@ -1192,7 +1249,13 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
     writeBounds(banded, col("__band"), dir("backlog_base", s"upto=$upTo"))
     banded.unpersist(blocking = false)
     bucketDirCache.remove(dir("backlog_base", s"upto=$upTo"))
-    publishMarker(s"BACKLOG_BASE-$upTo.json", s"""{"upto":$upTo}""")
+    // the folded-run claim rides the marker itself: publishing it is the
+    // single commit point for the whole swap. Readers (backlogRuns)
+    // exclude claimed runs even while their markers still exist, so the
+    // GC below is pure space reclamation — a crash anywhere in it
+    // duplicates nothing and the next compaction's heal finishes it.
+    publishMarker(s"BACKLOG_BASE-$upTo.json",
+      s"""{"upto":$upTo,"folded":[${foldedRuns.mkString(",")}]}""")
     def rm(path: String): Unit =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -1351,9 +1414,26 @@ class Frontier(spark: SparkSession, cfg: FrontierConfig,
   }
 
   /** Run the next wave after the latest committed one. */
+  /** Fail loudly on a pre-round-5 checkpoint: its fence lived in
+    * fence/wave=N dirs, which the fence_base/fence_delta reader never
+    * consults — resuming one would silently produce an EMPTY fence
+    * view, so every previously fenced host's backlog would never
+    * refill. Same loud-failure contract as the seen-shard mismatch
+    * above. Checked once per instance. */
+  private lazy val layoutChecked: Boolean = {
+    val legacy = new org.apache.hadoop.fs.Path(cfg.checkpointDir, "fence")
+    val fs = Frontier.rawFs(legacy, spark.sessionState.newHadoopConf())
+    require(!fs.exists(legacy),
+      s"checkpoint ${cfg.checkpointDir} holds a legacy fence/wave=N store; " +
+        "this build reads fence_base/fence_delta only — resuming would lose " +
+        "every fence. Re-crawl or migrate the fence store first")
+    true
+  }
+
   def runWave(): WaveResult = {
     val prev = latestCommittedWave()
     require(prev >= 0, "frontier not initialized")
+    require(layoutChecked)
     val wave = prev + 1
     val t0 = System.nanoTime()
     val debug = sys.env.get("GRAFT_DEBUG").contains("1")

@@ -381,6 +381,87 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
       "duplicate surt in pending view — stale backlog copy leaked past the fence")
   }
 
+  test("backlog merge is single-commit: crash between marker publish and folded GC duplicates nothing, heals") {
+    val ckDir = tmpDir("backlogcrashgc")
+    val cfg = FrontierConfig(checkpointDir = ckDir, hostBudget = 4, headMult = 1,
+      backlogBuckets = 8, seenShards = 16, compactEvery = 1000, fastMode = true)
+    val f = new Frontier(spark, cfg)
+    f.initialize(Frontier.syntheticSeeds(spark, 3000, hostPool = 40))
+    (1 to 6).foreach(_ => f.runWave())
+    f.compactBacklog(2) // first run: folds waves ≤2 deltas, nothing to merge
+    assert(Files.exists(Paths.get(ckDir, "BACKLOG_BASE-2.json")))
+
+    // snapshot the pre-merge run + deltas so the GC can be "un-done"
+    def copyRec(src: Path, dst: Path): Unit =
+      Files.walk(src).iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      }
+    val snap = Paths.get(tmpDir("backlogcrashgc-snap"))
+    copyRec(Paths.get(ckDir, "backlog_base", "upto=2"), snap.resolve("upto=2"))
+    Files.copy(Paths.get(ckDir, "BACKLOG_BASE-2.json"), snap.resolve("BACKLOG_BASE-2.json"))
+    val spills = Files.list(Paths.get(ckDir, "maint")).iterator().asScala
+      .filter(d => Files.exists(d.resolve("dest=spill"))).map(_.getFileName.toString)
+      .filter(_.stripPrefix("wave=").toInt <= 4) // only waves the merge will GC
+      .toVector
+    spills.foreach { w =>
+      copyRec(Paths.get(ckDir, "maint", w, "dest=spill"), snap.resolve("spill").resolve(w))
+    }
+
+    f.compactBacklog(4) // tiers comparable in size → MERGE (folds run 2)
+    val marker = new String(
+      Files.readAllBytes(Paths.get(ckDir, "BACKLOG_BASE-4.json")), "UTF-8")
+    assert(marker.contains("\"folded\":[2]"),
+      s"expected a merge claiming run 2; marker was: $marker")
+    val truth = f.pendingDf(6).select("surt_key").collect()
+      .map(_.getString(0)).sorted.toVector
+    assert(truth.nonEmpty && truth.size == truth.toSet.size)
+
+    // simulate a crash IMMEDIATELY after the marker publish: folded
+    // run 2 (dir + marker) and the folded spill deltas are back on
+    // disk alongside the already-published merged run 4
+    copyRec(snap.resolve("upto=2"), Paths.get(ckDir, "backlog_base", "upto=2"))
+    Files.copy(snap.resolve("BACKLOG_BASE-2.json"), Paths.get(ckDir, "BACKLOG_BASE-2.json"))
+    spills.foreach { w =>
+      copyRec(snap.resolve("spill").resolve(w), Paths.get(ckDir, "maint", w, "dest=spill"))
+    }
+
+    // a fresh instance (cold caches, like a resume) must NOT read the
+    // folded run: every merged row would otherwise appear twice
+    val f2 = new Frontier(spark, cfg)
+    val resumed = f2.pendingDf(6).select("surt_key").collect()
+      .map(_.getString(0)).sorted.toVector
+    assert(resumed == truth,
+      s"pending diverged after simulated crash: ${resumed.size} rows vs ${truth.size}")
+
+    // the next compaction (early-returning or not) finishes the GC
+    f2.compactBacklog(4)
+    assert(!Files.exists(Paths.get(ckDir, "BACKLOG_BASE-2.json")),
+      "folded run's marker not healed")
+    assert(!Files.exists(Paths.get(ckDir, "backlog_base", "upto=2")),
+      "folded run's dir not healed")
+    val healed = f2.pendingDf(6).select("surt_key").collect()
+      .map(_.getString(0)).sorted.toVector
+    assert(healed == truth, "healing changed the pending view")
+  }
+
+  test("legacy fence/wave=N checkpoint layout fails loudly on resume") {
+    val ckDir = tmpDir("legacylayout")
+    val cfg = FrontierConfig(checkpointDir = ckDir, hostBudget = 4, seenShards = 8,
+      fastMode = true)
+    val f = new Frontier(spark, cfg)
+    f.initialize(Frontier.syntheticSeeds(spark, 200))
+    f.runWave()
+    // a pre-round-5 checkpoint kept its fence here; the current reader
+    // only consults fence_base/fence_delta — resume must refuse, not
+    // silently run with an empty fence view
+    Files.createDirectories(Paths.get(ckDir, "fence", "wave=1"))
+    val f2 = new Frontier(spark, cfg)
+    val e = intercept[IllegalArgumentException] { f2.runWave() }
+    assert(e.getMessage.contains("legacy fence"), e.getMessage)
+  }
+
   test("shard maintenance writes O(fresh) per wave: level files reused across waves") {
     val ckDir = tmpDir("lsm")
     val cfg = FrontierConfig(checkpointDir = ckDir, hostBudget = 3, seenShards = 16,
